@@ -1,0 +1,185 @@
+"""Public inference API (SURVEY C19) — the preserved reference surface:
+load weights; predict a depth map from a single image or a stereo pair
+(BASELINE.json:5).
+
+Design: a :class:`Predictor` owns the config, the Flax variables, and a
+cache of jit-compiled end-to-end programs (one per input signature). Each
+program is the WHOLE device pipeline — preprocess ∘ forward ∘ postprocess
+(SURVEY §3.1/§3.2) — so the host only ever handles decoded uint8 frames
+in and depth maps out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenedepthestimation_tpu import configs
+from scenedepthestimation_tpu.configs import RunConfig
+from scenedepthestimation_tpu.models.monodepth import MonoDepthNet
+from scenedepthestimation_tpu.models.stereo import StereoNet
+from scenedepthestimation_tpu.ops.disp_to_depth import (
+    depth_from_disparity,
+    disp_to_depth,
+)
+from scenedepthestimation_tpu.ops.preprocess import preprocess, resize_bilinear
+from scenedepthestimation_tpu.utils import checkpoint
+
+
+def _compute_dtype(cfg: RunConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+class Predictor:
+    """Holds weights + compiled programs for one pipeline config."""
+
+    def __init__(self, cfg: RunConfig, variables: Dict[str, Any]):
+        self.cfg = cfg
+        self.variables = variables
+        dtype = _compute_dtype(cfg)
+        if cfg.pipeline == "mono":
+            self.model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
+        elif cfg.pipeline == "stereo":
+            self.model = StereoNet(cfg=cfg.stereo, dtype=dtype)
+        else:
+            raise ValueError(f"unknown pipeline {cfg.pipeline!r}")
+
+    # -- compiled end-to-end programs (cached per input shape) ----------
+
+    @functools.lru_cache(maxsize=8)
+    def _mono_program(self, in_shape: Tuple[int, ...], in_dtype: str):
+        cfg = self.cfg
+        net_hw = (cfg.mono.height, cfg.mono.width)
+        dtype = _compute_dtype(cfg)
+
+        @jax.jit
+        def program(variables, img):
+            x = preprocess(img, net_hw, cfg.pre, compute_dtype=dtype)
+            disps = self.model.apply(variables, x)
+            disp0 = disps[0].astype(jnp.float32)  # (B, h, w, 1)
+            src_hw = img.shape[-3:-1]
+            if tuple(src_hw) != net_hw:
+                disp0 = resize_bilinear(disp0, src_hw, antialias=False)
+            scaled_disp, depth = disp_to_depth(
+                disp0[..., 0], cfg.mono.min_depth, cfg.mono.max_depth
+            )
+            return {"disp": scaled_disp, "depth": depth}
+
+        return program
+
+    @functools.lru_cache(maxsize=8)
+    def _stereo_program(self, in_shape: Tuple[int, ...], in_dtype: str):
+        cfg = self.cfg
+        net_hw = (cfg.stereo.height, cfg.stereo.width)
+        dtype = _compute_dtype(cfg)
+
+        @jax.jit
+        def program(variables, left, right):
+            xl = preprocess(left, net_hw, cfg.pre, compute_dtype=dtype)
+            xr = preprocess(right, net_hw, cfg.pre, compute_dtype=dtype)
+            disp = self.model.apply(variables, xl, xr)  # (B, h, w) px @ net res
+            src_hw = left.shape[-3:-1]
+            if tuple(src_hw) != net_hw:
+                # Disparities are horizontal offsets: rescale magnitudes by
+                # the width ratio when resizing back to source resolution.
+                scale = src_hw[1] / net_hw[1]
+                disp = resize_bilinear(disp[..., None], src_hw, antialias=False)[..., 0]
+                disp = disp * scale
+            depth = depth_from_disparity(
+                disp, cfg.stereo.focal_px, cfg.stereo.baseline_m
+            )
+            return {"disp": disp, "depth": depth}
+
+        return program
+
+    # -- forward helpers -------------------------------------------------
+
+    def mono_forward(self, img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        program = self._mono_program(tuple(img.shape), str(img.dtype))
+        return program(self.variables, img)
+
+    def stereo_forward(
+        self, left: jnp.ndarray, right: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        program = self._stereo_program(tuple(left.shape), str(left.dtype))
+        return program(self.variables, left, right)
+
+
+# ---------------------------------------------------------------------------
+# Module-level public API (the reference-compatible surface).
+# ---------------------------------------------------------------------------
+
+
+def load_weights(
+    path: Optional[str],
+    config: str | RunConfig = "mono_kitti_192x640_fp32",
+    seed: int = 0,
+) -> Predictor:
+    """Load weights from an Orbax dir or torch .pth file(s) → Predictor.
+
+    ``path=None`` random-initializes (used for golden-parity tests and
+    benchmarks where no trained reference weights exist — the reference
+    mount was empty, SURVEY.md Provenance).
+    """
+    cfg = configs.get(config) if isinstance(config, str) else config
+    dtype = _compute_dtype(cfg)
+    if cfg.pipeline == "mono":
+        model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
+        dummy_args = (jnp.zeros((1, cfg.mono.height, cfg.mono.width, 3), dtype),)
+    else:
+        model = StereoNet(cfg=cfg.stereo, dtype=dtype)
+        z = jnp.zeros((1, cfg.stereo.height, cfg.stereo.width, 3), dtype)
+        dummy_args = (z, z)
+
+    if path is None:
+        variables = model.init(jax.random.PRNGKey(seed), *dummy_args)
+    else:
+        variables = checkpoint.load_variables(path, pipeline=cfg.pipeline)
+        variables = jax.tree.map(jnp.asarray, variables)
+    return Predictor(cfg, variables)
+
+
+def _ensure_batched(img: np.ndarray | jnp.ndarray) -> Tuple[jnp.ndarray, bool]:
+    arr = jnp.asarray(img)
+    if arr.ndim == 3:
+        return arr[None], True
+    if arr.ndim == 4:
+        return arr, False
+    raise ValueError(f"expected (H,W,3) or (B,H,W,3), got {arr.shape}")
+
+
+def predict_mono(predictor: Predictor, image) -> Dict[str, np.ndarray]:
+    """Depth map from a single RGB image (or batch). uint8 HWC in.
+
+    Returns numpy {'depth': (.., H, W), 'disp': (.., H, W)} at the source
+    resolution, squeezed if the input was unbatched.
+    """
+    img, squeeze = _ensure_batched(image)
+    out = predictor.mono_forward(img)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    if squeeze:
+        out = {k: v[0] for k, v in out.items()}
+    return out
+
+
+def predict_stereo(predictor: Predictor, left, right) -> Dict[str, np.ndarray]:
+    """Disparity + depth from a rectified stereo pair (or batch)."""
+    l, squeeze = _ensure_batched(left)
+    r, _ = _ensure_batched(right)
+    out = predictor.stereo_forward(l, r)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    if squeeze:
+        out = {k: v[0] for k, v in out.items()}
+    return out
+
+
+def predict_batch(predictor: Predictor, images, mesh=None, donate: bool = False):
+    """Sharded batched inference (SURVEY §3.4). Thin wrapper for now;
+    the pipelined multi-chip feed lives in parallel/feed.py (config 5)."""
+    from scenedepthestimation_tpu.parallel import batch_inference
+
+    return batch_inference(predictor, images, mesh=mesh)

@@ -1,0 +1,138 @@
+"""Command-line interface (SURVEY C20 / layer "Scripts / CLI").
+
+Subcommands mirror the reference family's entry scripts:
+
+* ``scenedepth predict`` — load weights, predict a depth map from one
+  image (mono) or a rectified pair (stereo), dump .npy + colormapped .png
+  (config-1 "depth-map dump", BASELINE.json:7).
+* ``scenedepth eval``    — Eigen-split / KITTI-2015 evaluation (C20).
+* ``scenedepth bench``   — throughput benchmark emitting the judged
+  metric as one JSON line (BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load_image(path: str):
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _dump_depth(depth, disp, out_prefix: str) -> None:
+    import numpy as np
+
+    np.save(out_prefix + "_depth.npy", depth)
+    np.save(out_prefix + "_disp.npy", disp)
+    from scenedepthestimation_tpu.utils.colormap import colormap_magma
+    from PIL import Image
+
+    rgb = colormap_magma(disp)
+    Image.fromarray(rgb).save(out_prefix + "_disp.png")
+
+
+def cmd_predict(args: argparse.Namespace) -> int:
+    from scenedepthestimation_tpu import api
+
+    predictor = api.load_weights(args.weights, args.config, seed=args.seed)
+    if predictor.cfg.pipeline == "stereo":
+        if not (args.left and args.right):
+            print("stereo config needs --left and --right", file=sys.stderr)
+            return 2
+        out = api.predict_stereo(
+            predictor, _load_image(args.left), _load_image(args.right)
+        )
+        src = args.left
+    else:
+        if not args.image:
+            print("mono config needs --image", file=sys.stderr)
+            return 2
+        out = api.predict_mono(predictor, _load_image(args.image))
+        src = args.image
+
+    prefix = args.output or os.path.splitext(src)[0]
+    _dump_depth(out["depth"], out["disp"], prefix)
+    print(
+        json.dumps(
+            {
+                "source": src,
+                "output_prefix": prefix,
+                "depth_min": float(out["depth"].min()),
+                "depth_max": float(out["depth"].max()),
+                "shape": list(out["depth"].shape),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_eval(args: argparse.Namespace) -> int:
+    from scenedepthestimation_tpu import evaluate
+
+    metrics = evaluate.run_eval(
+        config=args.config,
+        weights=args.weights,
+        data_root=args.data_root,
+        split=args.split,
+        max_items=args.max_items,
+        seed=args.seed,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    from scenedepthestimation_tpu import benchmark
+
+    result = benchmark.run_bench(
+        config=args.config, batch_size=args.batch_size, iters=args.iters
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="scenedepth")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("predict", help="predict a depth map")
+    pp.add_argument("--config", default="mono_kitti_192x640_fp32")
+    pp.add_argument("--weights", default=None, help="orbax dir or .pth file(s)")
+    pp.add_argument("--image", help="input image (mono)")
+    pp.add_argument("--left", help="left image (stereo)")
+    pp.add_argument("--right", help="right image (stereo)")
+    pp.add_argument("--output", help="output path prefix")
+    pp.add_argument("--seed", type=int, default=0)
+    pp.set_defaults(fn=cmd_predict)
+
+    pe = sub.add_parser("eval", help="run dataset evaluation")
+    pe.add_argument("--config", default="mono_eigen_eval")
+    pe.add_argument("--weights", default=None)
+    pe.add_argument("--data-root", required=True)
+    pe.add_argument("--split", default="eigen")
+    pe.add_argument("--max-items", type=int, default=None)
+    pe.add_argument("--seed", type=int, default=0)
+    pe.set_defaults(fn=cmd_eval)
+
+    pb = sub.add_parser("bench", help="throughput benchmark")
+    pb.add_argument("--config", default="mono_kitti_384x1152_bench")
+    pb.add_argument("--batch-size", type=int, default=None)
+    pb.add_argument("--iters", type=int, default=32)
+    pb.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

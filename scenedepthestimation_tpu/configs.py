@@ -1,0 +1,205 @@
+"""Typed configuration (component C17 in SURVEY.md §2).
+
+The reference repo's argparse options module is replaced with frozen
+dataclasses plus five named presets mirroring the five judged configs in
+BASELINE.json:7-11. Every constant the empty reference mount prevented us
+from verifying is isolated here and marked ``UNVERIFIED vs reference`` so
+a later diff against real reference code is a constants-only change
+(SURVEY.md §7 "Hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MonoConfig:
+    """Monocular ResNet-18 U-Net depth network (SURVEY C6, C7, C8, C13)."""
+
+    # Input resolution (H, W).
+    height: int = 192
+    width: int = 640
+    # Encoder.
+    num_layers: int = 18  # ResNet-18 (BASELINE.json:7)
+    # Decoder channel plan, coarsest→finest is reversed at use sites.
+    # monodepth2-lineage plan. UNVERIFIED vs reference.
+    dec_channels: Tuple[int, ...] = (16, 32, 64, 128, 256)
+    # Scales at which disparity heads emit output (0 = full decoder res).
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    # disp→depth scaled-sigmoid constants (SURVEY C8).
+    # monodepth2 convention. UNVERIFIED vs reference.
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    # Upsample mode inside the decoder ("nearest" is the monodepth2
+    # convention). UNVERIFIED vs reference.
+    upsample_mode: str = "nearest"
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    """Stereo correlation network (SURVEY C9, C10, C11, C12)."""
+
+    height: int = 256
+    width: int = 512
+    # Maximum disparity at FULL resolution. 192 is the KITTI-standard
+    # search range (GC-Net / DispNetC lineage). UNVERIFIED vs reference.
+    max_disp: int = 192
+    # Feature extractor downsampling factor before correlation.
+    feat_stride: int = 4
+    # Feature channels fed into the correlation.
+    feat_channels: int = 64
+    # Aggregation U-Net channel plan over the cost volume.
+    agg_channels: Tuple[int, ...] = (64, 96, 128, 160)
+    # Stereo rig geometry for disp→depth = fx*baseline/disp.
+    # KITTI 2015 values (P2 cam). UNVERIFIED vs reference.
+    focal_px: float = 721.5377
+    baseline_m: float = 0.54
+
+    @property
+    def corr_disp(self) -> int:
+        """Correlation search range at feature resolution."""
+        return self.max_disp // self.feat_stride
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """On-device preprocessing (SURVEY C2): resize → scale → normalize.
+
+    Normalization stats: the monodepth2 lineage normalizes with
+    (x - 0.45) / 0.225 (a gray-world approximation of the ImageNet
+    stats). UNVERIFIED vs reference — switchable to exact ImageNet stats.
+    """
+
+    mean: Tuple[float, float, float] = (0.45, 0.45, 0.45)
+    std: Tuple[float, float, float] = (0.225, 0.225, 0.225)
+    # PIL-parity antialiased bilinear resize (SURVEY §7 "Hard parts").
+    antialias: bool = True
+
+    @classmethod
+    def imagenet(cls) -> "PreprocessConfig":
+        return cls(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """KITTI Eigen-split / NYUv2 / KITTI-2015 evaluation (SURVEY C15).
+
+    Eigen crop + [min,max] depth cap + median scaling are the standard
+    monocular protocol (Eigen et al. / monodepth2). UNVERIFIED vs
+    reference; all toggleable.
+    """
+
+    min_depth: float = 1e-3
+    max_depth: float = 80.0
+    # Garg/Eigen crop expressed as fractions of (H, W):
+    # rows [0.40810811, 0.99189189), cols [0.03594771, 0.96405229).
+    eigen_crop: Tuple[float, float, float, float] = (
+        0.40810811,
+        0.99189189,
+        0.03594771,
+        0.96405229,
+    )
+    median_scaling: bool = True
+    # KITTI-2015 D1 threshold: error > 3px AND > 5% of GT disparity.
+    d1_px: float = 3.0
+    d1_frac: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """One end-to-end pipeline configuration (a BASELINE.json config)."""
+
+    name: str
+    pipeline: str  # "mono" | "stereo"
+    batch_size: int = 1
+    dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+    num_devices: int = 1  # data-parallel mesh size
+    mono: MonoConfig = dataclasses.field(default_factory=MonoConfig)
+    stereo: StereoConfig = dataclasses.field(default_factory=StereoConfig)
+    pre: PreprocessConfig = dataclasses.field(default_factory=PreprocessConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+    @property
+    def height(self) -> int:
+        return self.mono.height if self.pipeline == "mono" else self.stereo.height
+
+    @property
+    def width(self) -> int:
+        return self.mono.width if self.pipeline == "mono" else self.stereo.width
+
+
+# ---------------------------------------------------------------------------
+# The five judged presets (BASELINE.json:7-11).
+# ---------------------------------------------------------------------------
+
+MONO_KITTI_192x640_FP32 = RunConfig(
+    name="mono_kitti_192x640_fp32",
+    pipeline="mono",
+    batch_size=1,
+    dtype="float32",
+    mono=MonoConfig(height=192, width=640),
+)
+
+MONO_NYU_480x640_B8 = RunConfig(
+    name="mono_nyu_480x640_b8",
+    pipeline="mono",
+    batch_size=8,
+    dtype="float32",
+    mono=MonoConfig(height=480, width=640),
+)
+
+MONO_EIGEN_EVAL = RunConfig(
+    name="mono_eigen_eval",
+    pipeline="mono",
+    batch_size=8,
+    dtype="float32",
+    mono=MonoConfig(height=192, width=640),
+)
+
+STEREO_256x512_B4 = RunConfig(
+    name="stereo_256x512_b4",
+    pipeline="stereo",
+    batch_size=4,
+    dtype="float32",
+    stereo=StereoConfig(height=256, width=512),
+)
+
+STEREO_KITTI2015_B16_BF16_V5E8 = RunConfig(
+    name="stereo_kitti2015_b16_bf16_v5e8",
+    pipeline="stereo",
+    batch_size=16,
+    dtype="bfloat16",
+    num_devices=8,
+    stereo=StereoConfig(height=384, width=1152),
+)
+
+# Benchmark config: the judged metric is KITTI frames/sec/chip at 384x1152
+# (BASELINE.json:2) — monocular flagship shape.
+MONO_KITTI_384x1152_BENCH = RunConfig(
+    name="mono_kitti_384x1152_bench",
+    pipeline="mono",
+    batch_size=8,
+    dtype="bfloat16",
+    mono=MonoConfig(height=384, width=1152),
+)
+
+PRESETS = {
+    c.name: c
+    for c in (
+        MONO_KITTI_192x640_FP32,
+        MONO_NYU_480x640_B8,
+        MONO_EIGEN_EVAL,
+        STEREO_256x512_B4,
+        STEREO_KITTI2015_B16_BF16_V5E8,
+        MONO_KITTI_384x1152_BENCH,
+    )
+}
+
+
+def get(name: str) -> RunConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")

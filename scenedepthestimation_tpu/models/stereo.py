@@ -1,0 +1,141 @@
+"""Stereo disparity network (SURVEY C9 + C10 + C11 + C12).
+
+DispNetC/FADNet-lineage design (PAPERS.md:5,9 — the mount was empty, so
+the architecture is the E1/E2-grade spec from SURVEY §2), re-designed
+TPU-first:
+
+* Siamese feature tower (C9): shared-weight conv stack downsampling both
+  views to stride ``feat_stride`` (default /4). The pair is folded into
+  the batch axis (one big conv instead of two half-size ones — better MXU
+  occupancy than vmap-ing two calls).
+* 1-D correlation cost volume (C10): ops/correlation, (B, H/4, W/4, D).
+* Cost aggregation (C11): a 2-D conv U-Net over the cost volume
+  concatenated with left-view features (FADNet-style 2-D processing, not
+  GC-Net 3-D convs — 2-D convs are MXU-dense; 3-D convs lower poorly).
+* Soft-argmin readout (C12): ops/soft_argmin → disparity at /4, scaled by
+  ``feat_stride`` and bilinearly upsampled to full resolution (in px).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scenedepthestimation_tpu.configs import StereoConfig
+from scenedepthestimation_tpu.ops.correlation import correlation1d
+from scenedepthestimation_tpu.ops.soft_argmin import soft_argmin
+from scenedepthestimation_tpu.ops.upsample import upsample2x, upsample_concat
+
+
+class ConvRelu(nn.Module):
+    channels: int
+    stride: int = 1
+    kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.kernel // 2
+        y = nn.Conv(
+            self.channels,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return nn.relu(y)
+
+
+class FeatureTower(nn.Module):
+    """Shared-weight feature extractor, /4 downsampling (SURVEY C9)."""
+
+    channels: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = ConvRelu(32, stride=2, kernel=5, dtype=self.dtype, name="down1")(x)
+        y = ConvRelu(self.channels, stride=2, kernel=5, dtype=self.dtype, name="down2")(y)
+        y = ConvRelu(self.channels, dtype=self.dtype, name="refine1")(y)
+        y = ConvRelu(self.channels, dtype=self.dtype, name="refine2")(y)
+        return y
+
+
+class CostAggregation(nn.Module):
+    """2-D conv U-Net over (cost ++ left features) → refined cost logits.
+
+    Output is *matching cost* over D (lower = better) to feed soft-argmin.
+    """
+
+    out_disp: int
+    channels: tuple = (64, 96, 128, 160)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c0, c1, c2, c3 = self.channels
+        e0 = ConvRelu(c0, dtype=self.dtype, name="enc0")(x)
+        e1 = ConvRelu(c1, stride=2, dtype=self.dtype, name="enc1")(e0)
+        e1 = ConvRelu(c1, dtype=self.dtype, name="enc1b")(e1)
+        e2 = ConvRelu(c2, stride=2, dtype=self.dtype, name="enc2")(e1)
+        e2 = ConvRelu(c2, dtype=self.dtype, name="enc2b")(e2)
+        e3 = ConvRelu(c3, stride=2, dtype=self.dtype, name="enc3")(e2)
+        e3 = ConvRelu(c3, dtype=self.dtype, name="enc3b")(e3)
+
+        d2 = ConvRelu(c2, dtype=self.dtype, name="dec2")(
+            upsample_concat(e3, e2, mode="nearest")
+        )
+        d1 = ConvRelu(c1, dtype=self.dtype, name="dec1")(
+            upsample_concat(d2, e1, mode="nearest")
+        )
+        d0 = ConvRelu(c0, dtype=self.dtype, name="dec0")(
+            upsample_concat(d1, e0, mode="nearest")
+        )
+        # Linear head: cost logits over the disparity axis.
+        return nn.Conv(
+            self.out_disp,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            name="cost_head",
+        )(d0)
+
+
+class StereoNet(nn.Module):
+    """left, right (B, H, W, 3) normalized → full-res disparity (B, H, W) px."""
+
+    cfg: StereoConfig = StereoConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, left: jnp.ndarray, right: jnp.ndarray
+    ) -> jnp.ndarray:
+        b = left.shape[0]
+        # Fold the stereo pair into the batch axis for the shared tower.
+        pair = jnp.concatenate([left, right], axis=0)
+        feats = FeatureTower(
+            channels=self.cfg.feat_channels, dtype=self.dtype, name="tower"
+        )(pair)
+        f_l, f_r = feats[:b], feats[b:]
+
+        d_corr = self.cfg.corr_disp
+        cost = correlation1d(f_l, f_r, d_corr)  # (B, H/4, W/4, D)
+
+        agg_in = jnp.concatenate([cost.astype(self.dtype), f_l], axis=-1)
+        refined = CostAggregation(
+            out_disp=d_corr,
+            channels=self.cfg.agg_channels,
+            dtype=self.dtype,
+            name="aggregation",
+        )(agg_in)
+
+        # Soft-argmin in fp32: the softmax over D is precision-sensitive.
+        disp_q = soft_argmin(refined.astype(jnp.float32))  # (B, H/4, W/4)
+        # Scale /4-pixel units to full-res pixels, then upsample x4.
+        disp_q = disp_q * float(self.cfg.feat_stride)
+        disp = upsample2x(
+            upsample2x(disp_q[..., None], mode="bilinear"), mode="bilinear"
+        )
+        return disp[..., 0]

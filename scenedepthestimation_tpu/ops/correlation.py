@@ -1,0 +1,65 @@
+"""1-D stereo correlation cost volume (north-star hot-op #2; SURVEY C10).
+
+``cost[b, h, w, d] = mean_c( F_L[b, h, w, c] * F_R[b, h, w - d, c] )``
+for d in [0, D). Out-of-frame right-view samples contribute zero (the
+DispNetC/FADNet zero-padding convention — UNVERIFIED vs reference, the
+mount was empty; see SURVEY §2 C10).
+
+Layout: features NHWC, cost volume (B, H, W, D) with the disparity axis
+lane-minor — the aggregation network consumes D as its channel axis so
+the volume feeds channels-last convs with no transpose.
+
+Two implementations behind ``use_pallas``:
+
+* ``_correlation_jnp`` — shift-and-reduce reference (the unit-test
+  oracle; SURVEY §4.2). Static Python loop over D so XLA sees D fused
+  elementwise multiply-reduces it can vectorize on the VPU.
+* ``_correlation_pallas`` — the flagship Pallas TPU kernel
+  (kernels live in ops/pallas/correlation.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_USE_PALLAS = False  # flipped by ops.pallas once kernels land/are profiled
+
+
+def set_use_pallas(flag: bool) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = flag
+
+
+def correlation1d(
+    f_left: jnp.ndarray,
+    f_right: jnp.ndarray,
+    max_disp: int,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Build the (B, H, W, D) cost volume, D = max_disp."""
+    if f_left.shape != f_right.shape:
+        raise ValueError(f"shape mismatch {f_left.shape} vs {f_right.shape}")
+    use = _USE_PALLAS if use_pallas is None else use_pallas
+    if use:
+        from scenedepthestimation_tpu.ops.pallas.correlation import (
+            correlation_pallas,
+        )
+
+        return correlation_pallas(f_left, f_right, max_disp)
+    return _correlation_jnp(f_left, f_right, max_disp)
+
+
+def _correlation_jnp(
+    f_left: jnp.ndarray, f_right: jnp.ndarray, max_disp: int
+) -> jnp.ndarray:
+    b, h, w, c = f_left.shape
+    inv_c = 1.0 / c
+    # Pad the right features once on the left of W; slice per shift.
+    fr_pad = jnp.pad(f_right, ((0, 0), (0, 0), (max_disp - 1, 0), (0, 0)))
+    slices = []
+    for d in range(max_disp):
+        # Static slice == F_R shifted right by d with zero fill.
+        start = max_disp - 1 - d
+        fr_d = fr_pad[:, :, start : start + w, :]
+        slices.append(jnp.sum(f_left * fr_d, axis=-1) * inv_c)
+    return jnp.stack(slices, axis=-1)

@@ -1,0 +1,51 @@
+"""Soft-argmin disparity regression (north-star hot-op #3; SURVEY C12).
+
+GC-Net (PAPERS.md:9) differentiable disparity readout:
+``disp[b, h, w] = sum_d d * softmax(-cost, axis=D)[b, h, w, d]``.
+
+The cost volume arrives (B, H, W, D) with D lane-minor, so the softmax
+and expectation reduce along lanes — the natural VPU reduction axis. XLA
+fuses the whole readout (max-subtract, exp, two reductions, divide) into
+one pass; a Pallas kernel that additionally inlines the disp→depth
+epilogue lives behind ``use_pallas`` (SURVEY C8+C12 fusion note).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_USE_PALLAS = False
+
+
+def set_use_pallas(flag: bool) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = flag
+
+
+def soft_argmin(
+    cost: jnp.ndarray, use_pallas: bool | None = None
+) -> jnp.ndarray:
+    """(B, H, W, D) cost volume → (B, H, W) expected disparity.
+
+    Convention: ``cost`` is *matching cost* (lower = better), per GC-Net —
+    softmax is taken over the negated cost.
+    """
+    use = _USE_PALLAS if use_pallas is None else use_pallas
+    if use:
+        from scenedepthestimation_tpu.ops.pallas.soft_argmin import (
+            soft_argmin_pallas,
+        )
+
+        return soft_argmin_pallas(cost)
+    return _soft_argmin_jnp(cost)
+
+
+def _soft_argmin_jnp(cost: jnp.ndarray) -> jnp.ndarray:
+    d = cost.shape[-1]
+    # Numerically-stable softmax over -cost along the lane-minor D axis.
+    logits = -cost
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    weights = jnp.exp(logits)
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    disps = jnp.arange(d, dtype=cost.dtype)
+    return jnp.sum(weights * disps, axis=-1)

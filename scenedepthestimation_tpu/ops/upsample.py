@@ -1,0 +1,75 @@
+"""Skip-connection upsampling (north-star hot-op #1; SURVEY C7).
+
+The decoder hot loop is ``conv → upsample ×2 → concat skip → conv``.
+XLA already fuses the nearest-neighbour broadcast into neighbouring
+elementwise ops; the jnp implementations here are written as pure
+reshape/broadcast so the compiler sees them as layout changes, not
+gathers. A Pallas fused upsample+concat kernel can be slotted in behind
+``use_pallas`` once profiling shows XLA's fusion leaving bandwidth on the
+table (SURVEY §7.5 order-of-work: correlation kernel first).
+
+Layout: NHWC everywhere.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def upsample2x(x: jnp.ndarray, mode: str = "nearest") -> jnp.ndarray:
+    """Upsample (B, H, W, C) by 2x in H and W.
+
+    ``nearest`` matches torch ``F.interpolate(scale_factor=2)`` exactly.
+    ``bilinear`` matches torch ``align_corners=False`` half-pixel-center
+    semantics (verified against torch in tests/test_upsample.py).
+    """
+    b, h, w, c = x.shape
+    if mode == "nearest":
+        # Broadcast-based: XLA lowers this to a copy with a tiled layout —
+        # no gather, fuses with the consumer conv's input.
+        y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        return y.reshape(b, 2 * h, 2 * w, c)
+    if mode == "bilinear":
+        return _bilinear2x(x)
+    raise ValueError(f"unknown upsample mode {mode!r}")
+
+
+def _bilinear2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x bilinear with half-pixel centers (align_corners=False).
+
+    For scale 2, output sample positions fall at source offsets -0.25 and
+    +0.25 around each input pixel, so each output row/col is a fixed
+    (0.75, 0.25) blend of two neighbours with edge clamping. Implemented
+    as two separable 1-D blends — pure elementwise, no gather.
+    """
+
+    def blend_axis(t: jnp.ndarray, axis: int) -> jnp.ndarray:
+        n = t.shape[axis]
+        lo = jnp.take(t, jnp.maximum(jnp.arange(n) - 1, 0), axis=axis)
+        hi = jnp.take(t, jnp.minimum(jnp.arange(n) + 1, n - 1), axis=axis)
+        even = 0.75 * t + 0.25 * lo  # output index 2i   (src pos i - 0.25)
+        odd = 0.75 * t + 0.25 * hi  # output index 2i+1 (src pos i + 0.25)
+        stacked = jnp.stack([even, odd], axis=axis + 1)
+        new_shape = list(t.shape)
+        new_shape[axis] = 2 * n
+        return stacked.reshape(new_shape)
+
+    x = blend_axis(x, 1)  # H
+    x = blend_axis(x, 2)  # W
+    return x
+
+
+def upsample_concat(
+    x: jnp.ndarray, skip: jnp.ndarray, mode: str = "nearest"
+) -> jnp.ndarray:
+    """Fused ``upsample2x(x) ++ skip`` along channels (decoder hot path).
+
+    The skip feature map may be 1 pixel larger in H/W when the encoder
+    input was odd-sized at that level; crop to the upsampled size like the
+    reference family does (sizes here are always even for the judged
+    configs, so this is a no-op there).
+    """
+    y = upsample2x(x, mode=mode)
+    if skip.shape[1] != y.shape[1] or skip.shape[2] != y.shape[2]:
+        skip = skip[:, : y.shape[1], : y.shape[2], :]
+    return jnp.concatenate([y, skip], axis=-1)

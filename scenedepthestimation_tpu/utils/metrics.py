@@ -1,0 +1,123 @@
+"""Evaluation metrics (SURVEY C15) — jit-compiled metric kernels.
+
+* Monocular depth: abs_rel, sq_rel, RMSE, RMSE_log, δ<1.25^{1,2,3} under
+  the Eigen protocol — Garg/Eigen crop, depth capped to [min, max], and
+  optional per-image median scaling (SURVEY §3.3; E2-standard protocol,
+  UNVERIFIED vs reference).
+* Stereo disparity: EPE and D1-all (>3 px AND >5 % of GT).
+
+abs_rel is the judged parity metric (BASELINE.json:2). All functions are
+mask-based (no boolean indexing) so they jit with static shapes and run
+on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from scenedepthestimation_tpu.configs import EvalConfig
+
+
+def eigen_crop_mask(height: int, width: int, cfg: EvalConfig = EvalConfig()) -> jnp.ndarray:
+    """(H, W) bool mask for the Garg/Eigen evaluation crop."""
+    r0, r1, c0, c1 = cfg.eigen_crop
+    rows = jnp.arange(height)
+    cols = jnp.arange(width)
+    row_ok = (rows >= jnp.floor(r0 * height)) & (rows < jnp.floor(r1 * height))
+    col_ok = (cols >= jnp.floor(c0 * width)) & (cols < jnp.floor(c1 * width))
+    return row_ok[:, None] & col_ok[None, :]
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None) -> jnp.ndarray:
+    num = jnp.sum(jnp.where(mask, x, 0.0), axis=axis)
+    den = jnp.maximum(jnp.sum(mask, axis=axis), 1)
+    return num / den
+
+
+def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of x[mask] for a flattened per-image array (static shape).
+
+    Invalid entries are pushed to +inf and the median is read at index
+    (n_valid-1)//2 … n_valid//2 of the sorted array (even/odd averaged),
+    matching ``np.median`` on the compacted values.
+    """
+    flat = jnp.where(mask, x, jnp.inf).reshape(-1)
+    sorted_x = jnp.sort(flat)
+    n = jnp.sum(mask).astype(jnp.int32)
+    lo = jnp.maximum((n - 1) // 2, 0)
+    hi = jnp.maximum(n // 2, 0)
+    return 0.5 * (sorted_x[lo] + sorted_x[hi])
+
+
+def depth_errors(
+    gt: jnp.ndarray, pred: jnp.ndarray, mask: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Standard 7 depth metrics over valid pixels of ONE image."""
+    thresh = jnp.maximum(gt / jnp.maximum(pred, 1e-12), pred / jnp.maximum(gt, 1e-12))
+    a1 = _masked_mean((thresh < 1.25).astype(jnp.float32), mask)
+    a2 = _masked_mean((thresh < 1.25**2).astype(jnp.float32), mask)
+    a3 = _masked_mean((thresh < 1.25**3).astype(jnp.float32), mask)
+
+    diff = gt - pred
+    rmse = jnp.sqrt(_masked_mean(diff**2, mask))
+    safe_gt = jnp.maximum(gt, 1e-12)
+    safe_pred = jnp.maximum(pred, 1e-12)
+    rmse_log = jnp.sqrt(_masked_mean((jnp.log(safe_gt) - jnp.log(safe_pred)) ** 2, mask))
+    abs_rel = _masked_mean(jnp.abs(diff) / safe_gt, mask)
+    sq_rel = _masked_mean(diff**2 / safe_gt, mask)
+    return {
+        "abs_rel": abs_rel,
+        "sq_rel": sq_rel,
+        "rmse": rmse,
+        "rmse_log": rmse_log,
+        "a1": a1,
+        "a2": a2,
+        "a3": a3,
+    }
+
+
+def evaluate_depth_image(
+    pred_depth: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    cfg: EvalConfig = EvalConfig(),
+    apply_eigen_crop: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Full monocular per-image protocol (SURVEY §3.3).
+
+    ``pred_depth`` must already be at GT resolution. Valid = GT in
+    (min_depth, max_depth) ∩ crop. With ``median_scaling`` the prediction
+    is scaled by median(gt)/median(pred) over valid pixels, then clipped
+    to [min_depth, max_depth].
+    """
+    h, w = gt_depth.shape
+    mask = (gt_depth > cfg.min_depth) & (gt_depth < cfg.max_depth)
+    if apply_eigen_crop:
+        mask = mask & eigen_crop_mask(h, w, cfg)
+
+    pred = pred_depth
+    ratio = jnp.array(1.0, dtype=pred.dtype)
+    if cfg.median_scaling:
+        ratio = _masked_median(gt_depth, mask) / jnp.maximum(
+            _masked_median(pred, mask), 1e-12
+        )
+        pred = pred * ratio
+    pred = jnp.clip(pred, cfg.min_depth, cfg.max_depth)
+    out = depth_errors(gt_depth, pred, mask)
+    out["scale_ratio"] = ratio
+    return out
+
+
+def disparity_errors(
+    pred_disp: jnp.ndarray,
+    gt_disp: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: EvalConfig = EvalConfig(),
+) -> Dict[str, jnp.ndarray]:
+    """KITTI-2015 stereo metrics: EPE and D1-all over valid GT pixels."""
+    err = jnp.abs(pred_disp - gt_disp)
+    epe = _masked_mean(err, valid)
+    bad = (err > cfg.d1_px) & (err > cfg.d1_frac * jnp.abs(gt_disp))
+    d1 = _masked_mean(bad.astype(jnp.float32), valid)
+    return {"epe": epe, "d1_all": d1}

@@ -1,0 +1,153 @@
+"""PyTorch state-dict → Flax variables converter (SURVEY C16).
+
+The reference family saves per-network torch state dicts (``encoder.pth``
++ ``depth.pth``); this module ingests those (or a single combined file)
+and produces the ``{'params': ..., 'batch_stats': ...}`` pytree our Flax
+models consume. torch is only imported here — the rest of the framework
+never depends on it.
+
+Mapping rules (unit-tested against shape/value parity in
+tests/test_torch_import.py):
+
+* ``module.path.weight`` 4-D  → ``module/path: kernel`` transposed
+  (O, I, kH, kW) → (kH, kW, I, O).
+* ``weight`` 2-D → ``kernel`` transposed (O, I) → (I, O).
+* BatchNorm ``weight``/``bias`` → ``scale``/``bias`` (params);
+  ``running_mean``/``running_var`` → ``mean``/``var`` (batch_stats);
+  ``num_batches_tracked`` is dropped.
+* torchvision block indices ``layerN.B`` → our ``layerN_B``;
+  ``downsample.0``/``downsample.1`` → ``downsample_conv``/``downsample_bn``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+_BN_STATS = {"running_mean": "mean", "running_var": "var"}
+
+
+def _canonical_path(parts: list) -> list:
+    """Apply torchvision→flax module-name rewrites."""
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "downsample" and i + 1 < len(parts) and parts[i + 1] in ("0", "1"):
+            out.append("downsample_conv" if parts[i + 1] == "0" else "downsample_bn")
+            i += 2
+            continue
+        if re.fullmatch(r"layer\d+", p) and i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append(f"{p}_{parts[i + 1]}")
+            i += 2
+            continue
+        out.append(p)
+        i += 1
+    return out
+
+
+def _set(tree: Dict[str, Any], path: list, leaf: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = leaf
+
+
+def convert_state_dict(
+    state: Mapping[str, Any], prefix: str = ""
+) -> Dict[str, Any]:
+    """Flat torch state dict → {'params': ..., 'batch_stats': ...}."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    bn_modules = {
+        k.rsplit(".", 1)[0]
+        for k in state
+        if k.endswith(("running_mean", "running_var"))
+    }
+
+    for key, value in state.items():
+        arr = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value
+        )
+        parts = key.split(".")
+        pname = parts[-1]
+        module = ".".join(parts[:-1])
+        path = _canonical_path(parts[:-1])
+        if prefix:
+            path = [prefix] + path
+
+        if pname == "num_batches_tracked":
+            continue
+        if pname in _BN_STATS:
+            _set(stats, path + [_BN_STATS[pname]], arr.astype(np.float32))
+            continue
+        if pname == "weight":
+            if module in bn_modules:
+                _set(params, path + ["scale"], arr.astype(np.float32))
+            elif arr.ndim == 4:
+                _set(params, path + ["kernel"], arr.transpose(2, 3, 1, 0).astype(np.float32))
+            elif arr.ndim == 2:
+                _set(params, path + ["kernel"], arr.transpose(1, 0).astype(np.float32))
+            else:
+                _set(params, path + ["scale"], arr.astype(np.float32))
+            continue
+        if pname == "bias":
+            _set(params, path + ["bias"], arr.astype(np.float32))
+            continue
+        raise ValueError(f"unhandled torch parameter {key!r}")
+
+    out: Dict[str, Any] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def _merge(dst: Dict[str, Any], src: Dict[str, Any]) -> None:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _merge(dst[k], v)
+        else:
+            dst[k] = v
+
+
+def load_torch_file(path: str, pipeline: str = "mono") -> Dict[str, Any]:
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return convert_state_dict(state)
+
+
+def load_torch_dir(path: str, pipeline: str = "mono") -> Dict[str, Any]:
+    """Reference-family layout: per-network .pth files in one directory.
+
+    ``encoder.pth`` nests under ``encoder``; ``depth.pth``/``decoder.pth``
+    under ``decoder``; anything else is merged at the root.
+    """
+    import torch
+
+    nest_by_stem = {"encoder": "encoder", "depth": "decoder", "decoder": "decoder"}
+    out: Dict[str, Any] = {"params": {}, "batch_stats": {}}
+    for entry in sorted(os.listdir(path)):
+        if not entry.endswith((".pth", ".pt")):
+            continue
+        stem = os.path.splitext(entry)[0]
+        state = torch.load(
+            os.path.join(path, entry), map_location="cpu", weights_only=True
+        )
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+        # Drop non-tensor bookkeeping entries the reference family stores
+        # alongside weights (height/width/use_stereo flags).
+        state = {k: v for k, v in state.items() if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 0 and not isinstance(v, (int, float, str))}
+        converted = convert_state_dict(state, prefix=nest_by_stem.get(stem, ""))
+        _merge(out["params"], converted.get("params", {}))
+        _merge(out["batch_stats"], converted.get("batch_stats", {}))
+    if not out["batch_stats"]:
+        out.pop("batch_stats")
+    return out

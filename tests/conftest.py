@@ -1,0 +1,20 @@
+"""Test harness config (SURVEY §4.4).
+
+Tests run hermetically on the CPU backend with 8 virtual devices so the
+8-way SPMD semantics of config 5 are exercised without TPU hardware; the
+real-chip performance path is covered by bench.py, not pytest. The env
+vars MUST be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

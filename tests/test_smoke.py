@@ -1,0 +1,93 @@
+"""End-to-end shape/range smoke tests (SURVEY §4.6) on tiny inputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scenedepthestimation_tpu import configs
+from scenedepthestimation_tpu.api import load_weights, predict_mono, predict_stereo
+from scenedepthestimation_tpu.configs import MonoConfig, RunConfig, StereoConfig
+
+TINY_MONO = RunConfig(
+    name="tiny_mono",
+    pipeline="mono",
+    mono=MonoConfig(height=64, width=128),
+)
+TINY_STEREO = RunConfig(
+    name="tiny_stereo",
+    pipeline="stereo",
+    stereo=StereoConfig(height=64, width=128, max_disp=32),
+)
+
+
+def test_presets_exist():
+    for name in (
+        "mono_kitti_192x640_fp32",
+        "mono_nyu_480x640_b8",
+        "mono_eigen_eval",
+        "stereo_256x512_b4",
+        "stereo_kitti2015_b16_bf16_v5e8",
+    ):
+        assert configs.get(name).name == name
+
+
+def test_mono_predict_shapes_and_range():
+    predictor = load_weights(None, TINY_MONO, seed=0)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(96, 160, 3), dtype=np.uint8)
+    out = predict_mono(predictor, img)
+    assert out["depth"].shape == (96, 160)
+    assert out["disp"].shape == (96, 160)
+    # depth bounded by the disp_to_depth constants
+    assert np.all(out["depth"] >= TINY_MONO.mono.min_depth - 1e-5)
+    assert np.all(out["depth"] <= TINY_MONO.mono.max_depth + 1e-3)
+    assert np.all(np.isfinite(out["depth"]))
+
+
+def test_mono_multiscale_heads():
+    predictor = load_weights(None, TINY_MONO, seed=0)
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    disps = predictor.model.apply(predictor.variables, x)
+    assert set(disps.keys()) == {0, 1, 2, 3}
+    for s, d in disps.items():
+        assert d.shape == (1, 64 // 2**s, 128 // 2**s, 1)
+        assert np.all(np.asarray(d) >= 0) and np.all(np.asarray(d) <= 1)
+
+
+def test_mono_batched():
+    predictor = load_weights(None, TINY_MONO, seed=0)
+    imgs = np.zeros((2, 64, 128, 3), dtype=np.uint8)
+    out = predict_mono(predictor, imgs)
+    assert out["depth"].shape == (2, 64, 128)
+
+
+def test_stereo_predict_shapes():
+    predictor = load_weights(None, TINY_STEREO, seed=0)
+    rng = np.random.default_rng(1)
+    left = rng.integers(0, 256, size=(64, 128, 3), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(64, 128, 3), dtype=np.uint8)
+    out = predict_stereo(predictor, left, right)
+    assert out["disp"].shape == (64, 128)
+    assert out["depth"].shape == (64, 128)
+    # Soft-argmin output is bounded by the (full-res) disparity range.
+    assert np.all(out["disp"] >= -1e-3)
+    assert np.all(out["disp"] <= TINY_STEREO.stereo.max_disp + 1e-2)
+    assert np.all(np.isfinite(out["depth"]))
+
+
+def test_encoder_feature_pyramid():
+    from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+
+    enc = ResNetEncoder(num_layers=18)
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(variables, x)
+    shapes = [f.shape for f in feats]
+    assert shapes == [
+        (1, 32, 64, 64),
+        (1, 16, 32, 64),
+        (1, 8, 16, 128),
+        (1, 4, 8, 256),
+        (1, 2, 4, 512),
+    ]
