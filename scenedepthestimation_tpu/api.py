@@ -34,6 +34,53 @@ def _compute_dtype(cfg: RunConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+def build_mono_program(cfg: RunConfig, model: MonoDepthNet):
+    """Un-jitted end-to-end mono program (SURVEY §3.1): uint8 frames →
+    {'disp', 'depth'} at source resolution. jit-wrapped by Predictor;
+    also exported raw for the driver's compile check (__graft_entry__)."""
+    net_hw = (cfg.mono.height, cfg.mono.width)
+    dtype = _compute_dtype(cfg)
+
+    def program(variables, img):
+        x = preprocess(img, net_hw, cfg.pre, compute_dtype=dtype)
+        disps = model.apply(variables, x)
+        disp0 = disps[0].astype(jnp.float32)  # (B, h, w, 1)
+        src_hw = img.shape[-3:-1]
+        if tuple(src_hw) != net_hw:
+            disp0 = resize_bilinear(disp0, src_hw, antialias=False)
+        scaled_disp, depth = disp_to_depth(
+            disp0[..., 0], cfg.mono.min_depth, cfg.mono.max_depth
+        )
+        return {"disp": scaled_disp, "depth": depth}
+
+    return program
+
+
+def build_stereo_program(cfg: RunConfig, model: StereoNet):
+    """Un-jitted end-to-end stereo program (SURVEY §3.2)."""
+    net_hw = (cfg.stereo.height, cfg.stereo.width)
+    dtype = _compute_dtype(cfg)
+
+    def program(variables, left, right):
+        xl = preprocess(left, net_hw, cfg.pre, compute_dtype=dtype)
+        xr = preprocess(right, net_hw, cfg.pre, compute_dtype=dtype)
+        disp = model.apply(variables, xl, xr)  # (B, h, w) px @ net res
+        disp = disp.astype(jnp.float32)
+        src_hw = left.shape[-3:-1]
+        if tuple(src_hw) != net_hw:
+            # Disparities are horizontal offsets: rescale magnitudes by
+            # the width ratio when resizing back to source resolution.
+            scale = src_hw[1] / net_hw[1]
+            disp = resize_bilinear(disp[..., None], src_hw, antialias=False)[..., 0]
+            disp = disp * scale
+        depth = depth_from_disparity(
+            disp, cfg.stereo.focal_px, cfg.stereo.baseline_m
+        )
+        return {"disp": disp, "depth": depth}
+
+    return program
+
+
 class Predictor:
     """Holds weights + compiled programs for one pipeline config."""
 
@@ -52,49 +99,11 @@ class Predictor:
 
     @functools.lru_cache(maxsize=8)
     def _mono_program(self, in_shape: Tuple[int, ...], in_dtype: str):
-        cfg = self.cfg
-        net_hw = (cfg.mono.height, cfg.mono.width)
-        dtype = _compute_dtype(cfg)
-
-        @jax.jit
-        def program(variables, img):
-            x = preprocess(img, net_hw, cfg.pre, compute_dtype=dtype)
-            disps = self.model.apply(variables, x)
-            disp0 = disps[0].astype(jnp.float32)  # (B, h, w, 1)
-            src_hw = img.shape[-3:-1]
-            if tuple(src_hw) != net_hw:
-                disp0 = resize_bilinear(disp0, src_hw, antialias=False)
-            scaled_disp, depth = disp_to_depth(
-                disp0[..., 0], cfg.mono.min_depth, cfg.mono.max_depth
-            )
-            return {"disp": scaled_disp, "depth": depth}
-
-        return program
+        return jax.jit(build_mono_program(self.cfg, self.model))
 
     @functools.lru_cache(maxsize=8)
     def _stereo_program(self, in_shape: Tuple[int, ...], in_dtype: str):
-        cfg = self.cfg
-        net_hw = (cfg.stereo.height, cfg.stereo.width)
-        dtype = _compute_dtype(cfg)
-
-        @jax.jit
-        def program(variables, left, right):
-            xl = preprocess(left, net_hw, cfg.pre, compute_dtype=dtype)
-            xr = preprocess(right, net_hw, cfg.pre, compute_dtype=dtype)
-            disp = self.model.apply(variables, xl, xr)  # (B, h, w) px @ net res
-            src_hw = left.shape[-3:-1]
-            if tuple(src_hw) != net_hw:
-                # Disparities are horizontal offsets: rescale magnitudes by
-                # the width ratio when resizing back to source resolution.
-                scale = src_hw[1] / net_hw[1]
-                disp = resize_bilinear(disp[..., None], src_hw, antialias=False)[..., 0]
-                disp = disp * scale
-            depth = depth_from_disparity(
-                disp, cfg.stereo.focal_px, cfg.stereo.baseline_m
-            )
-            return {"disp": disp, "depth": depth}
-
-        return program
+        return jax.jit(build_stereo_program(self.cfg, self.model))
 
     # -- forward helpers -------------------------------------------------
 

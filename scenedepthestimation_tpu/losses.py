@@ -1,0 +1,119 @@
+"""Training losses (SURVEY C14).
+
+The reference's training protocol is unverifiable (mount empty); SURVEY
+§2 C14 pins the capability surface for the family: supervised L1/SmoothL1
+on disparity (stereo), and monocular supervised-vs-GT and/or
+self-supervised photometric (SSIM + L1) with edge-aware smoothness at
+multiple scales (monodepth2 lineage). Both are implemented; all are pure
+jit-able functions.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+from jax import lax
+
+from scenedepthestimation_tpu.ops.upsample import upsample2x
+
+
+def _avg_pool3(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 mean pool, stride 1, VALID — the SSIM local window (NHWC)."""
+    return lax.reduce_window(
+        x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
+    ) / 9.0
+
+
+def ssim(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel SSIM dissimilarity (1-SSIM)/2, monodepth2-style 3x3.
+
+    Inputs (B, H, W, C) in [0, 1]; output (B, H-2, W-2, C) in [0, 1].
+    """
+    c1, c2 = 0.01**2, 0.03**2
+    mu_x, mu_y = _avg_pool3(x), _avg_pool3(y)
+    sigma_x = _avg_pool3(x * x) - mu_x * mu_x
+    sigma_y = _avg_pool3(y * y) - mu_y * mu_y
+    sigma_xy = _avg_pool3(x * y) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
+    return jnp.clip((1.0 - num / den) * 0.5, 0.0, 1.0)
+
+
+def photometric_error(
+    pred: jnp.ndarray, target: jnp.ndarray, alpha: float = 0.85
+) -> jnp.ndarray:
+    """alpha*SSIM + (1-alpha)*L1, reduced over channels → (B, H-2, W-2)."""
+    l1 = jnp.mean(jnp.abs(pred - target), axis=-1)[:, 1:-1, 1:-1]
+    ss = jnp.mean(ssim(pred, target), axis=-1)
+    return alpha * ss + (1.0 - alpha) * l1
+
+
+def edge_aware_smoothness(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """Mean edge-aware disparity smoothness (monodepth2 get_smooth_loss).
+
+    disp (B, H, W, 1) is mean-normalized; image gradients down-weight
+    penalties across edges.
+    """
+    mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+    d = disp / (mean_disp + 1e-7)
+    dx = jnp.abs(d[:, :, 1:, :] - d[:, :, :-1, :])
+    dy = jnp.abs(d[:, 1:, :, :] - d[:, :-1, :, :])
+    ix = jnp.mean(jnp.abs(img[:, :, 1:, :] - img[:, :, :-1, :]), axis=-1, keepdims=True)
+    iy = jnp.mean(jnp.abs(img[:, 1:, :, :] - img[:, :-1, :, :]), axis=-1, keepdims=True)
+    dx = dx * jnp.exp(-ix)
+    dy = dy * jnp.exp(-iy)
+    return jnp.mean(dx) + jnp.mean(dy)
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    """Elementwise SmoothL1/Huber (torch convention)."""
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff**2 / beta, diff - 0.5 * beta)
+
+
+def mono_supervised_loss(
+    disps: Dict[int, jnp.ndarray],
+    gt_disp: jnp.ndarray,
+    image: jnp.ndarray,
+    smoothness_weight: float = 1e-3,
+) -> jnp.ndarray:
+    """Multi-scale supervised L1 on sigmoid disparity + smoothness.
+
+    ``gt_disp`` (B, H, W, 1) in the network's [0, 1] sigmoid units, valid
+    where > 0. Each scale's prediction is upsampled to full res (the
+    monodepth2 full-res multi-scale protocol) before the comparison; the
+    smoothness term uses the per-scale disparity against the full image.
+    """
+    valid = (gt_disp > 0).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(valid), 1.0)
+    total = 0.0
+    n_scales = len(disps)
+    for s, disp in sorted(disps.items()):
+        d = disp
+        for _ in range(s):
+            d = upsample2x(d, mode="bilinear")
+        l1 = jnp.sum(jnp.abs(d - gt_disp) * valid) / denom
+        smooth = edge_aware_smoothness(disp, _downsample_image(image, s))
+        total = total + l1 + smoothness_weight * smooth / (2.0**s)
+    return total / n_scales
+
+
+def _downsample_image(img: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """2x area downsample applied ``scale`` times (for per-scale terms)."""
+    for _ in range(scale):
+        img = lax.reduce_window(
+            img, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        ) * 0.25
+    return img
+
+
+def stereo_supervised_loss(
+    pred_disp: jnp.ndarray,
+    gt_disp: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Masked SmoothL1 on full-res disparity in px (KITTI-2015 training)."""
+    v = valid.astype(jnp.float32)
+    per_px = smooth_l1(pred_disp, gt_disp) * v
+    return jnp.sum(per_px) / jnp.maximum(jnp.sum(v), 1.0)

@@ -24,10 +24,10 @@ class MonoDepthNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Dict[int, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[int, jnp.ndarray]:
         features = ResNetEncoder(
             num_layers=self.cfg.num_layers, dtype=self.dtype, name="encoder"
-        )(x)
+        )(x, train=train)
         return DepthDecoder(
             dec_channels=self.cfg.dec_channels,
             scales=self.cfg.scales,

@@ -35,7 +35,7 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         residual = x
         y = nn.Conv(
             self.channels,
@@ -47,7 +47,10 @@ class BasicBlock(nn.Module):
             name="conv1",
         )(x)
         y = nn.BatchNorm(
-            use_running_average=True, epsilon=BN_EPS, dtype=self.dtype, name="bn1"
+            use_running_average=not train,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn1",
         )(y)
         y = nn.relu(y)
         y = nn.Conv(
@@ -60,7 +63,10 @@ class BasicBlock(nn.Module):
             name="conv2",
         )(y)
         y = nn.BatchNorm(
-            use_running_average=True, epsilon=BN_EPS, dtype=self.dtype, name="bn2"
+            use_running_average=not train,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn2",
         )(y)
         if self.stride != 1 or x.shape[-1] != self.channels:
             residual = nn.Conv(
@@ -72,7 +78,7 @@ class BasicBlock(nn.Module):
                 name="downsample_conv",
             )(x)
             residual = nn.BatchNorm(
-                use_running_average=True,
+                use_running_average=not train,
                 epsilon=BN_EPS,
                 dtype=self.dtype,
                 name="downsample_bn",
@@ -94,7 +100,9 @@ class ResNetEncoder(nn.Module):
         return (64, 64, 128, 256, 512)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Sequence[jnp.ndarray]:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Sequence[jnp.ndarray]:
         if self.num_layers not in RESNET_SPECS:
             raise ValueError(f"unsupported depth {self.num_layers}")
         blocks = RESNET_SPECS[self.num_layers]
@@ -110,7 +118,10 @@ class ResNetEncoder(nn.Module):
             name="conv1",
         )(x)
         y = nn.BatchNorm(
-            use_running_average=True, epsilon=BN_EPS, dtype=self.dtype, name="bn1"
+            use_running_average=not train,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn1",
         )(y)
         y = nn.relu(y)
         features.append(y)  # /2, 64ch
@@ -133,7 +144,7 @@ class ResNetEncoder(nn.Module):
                     stride=stride,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
-                )(y)
+                )(y, train=train)
             features.append(y)
 
         return features
