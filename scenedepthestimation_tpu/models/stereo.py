@@ -112,13 +112,21 @@ class StereoNet(nn.Module):
     def __call__(
         self, left: jnp.ndarray, right: jnp.ndarray
     ) -> jnp.ndarray:
-        b = left.shape[0]
-        # Fold the stereo pair into the batch axis for the shared tower.
-        pair = jnp.concatenate([left, right], axis=0)
+        b, h, w, c_in = left.shape
+        # Fold the stereo pair into the batch axis for the shared tower —
+        # one big conv beats two half-size calls on the MXU. Interleave as
+        # (B, 2, ...) → (2B, ...) rather than concat([L, R], axis=0): with
+        # the batch axis sharded over a data-parallel mesh the interleaved
+        # reshape stays shard-LOCAL, while a concat would place L and R on
+        # different chips and the split-back would compile to a
+        # collective-permute (caught by tests/test_sharding.py's
+        # zero-collectives HLO assertion).
+        pair = jnp.stack([left, right], axis=1).reshape(2 * b, h, w, c_in)
         feats = FeatureTower(
             channels=self.cfg.feat_channels, dtype=self.dtype, name="tower"
         )(pair)
-        f_l, f_r = feats[:b], feats[b:]
+        feats = feats.reshape(b, 2, *feats.shape[1:])
+        f_l, f_r = feats[:, 0], feats[:, 1]
 
         d_corr = self.cfg.corr_disp
         cost = correlation1d(f_l, f_r, d_corr)  # (B, H/4, W/4, D)

@@ -1,0 +1,96 @@
+"""Pallas TPU kernel: 1-D correlation cost volume (SURVEY C10 — the
+flagship native kernel; north-star hot-op #2).
+
+Why a kernel: the jnp shift-and-reduce oracle materializes D shifted
+elementwise products — XLA fuses the arithmetic but re-streams the right
+feature map from HBM once per shift (D ≈ 48x HBM traffic on the hottest
+op of the stereo stack). Here each grid step loads one row-block of
+F_L and the left-padded F_R into VMEM ONCE and computes all D shifts
+from VMEM, writing the (rows, W, D) cost block back — HBM traffic drops
+from O(D·HW·C) to O(HW·C + HW·D).
+
+Implementation notes:
+* Inputs are reshaped to (B*H, W, C) rows; one grid step owns
+  ``rows_per_block`` rows (sublane-aligned), the full W extent, all C.
+* The shift loop is a ``fori_loop`` (NOT unrolled): Mosaic keeps every
+  unrolled product live on the VMEM stack — 48 shifts at config-5 shape
+  is a 59 MB scoped allocation vs the 16 MB budget. Serializing keeps
+  one (rows, W, C) product live at a time.
+* fp32 accumulation regardless of input dtype (bf16-safe, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _corr_kernel(fl_ref, fr_ref, out_ref, *, max_disp: int, inv_c: float):
+    fl = fl_ref[:].astype(jnp.float32)  # (R, W, C)
+    w = fl.shape[1]
+    # Statically-unrolled shift loop with a per-d store: each (R, W, C)
+    # product dies right after its (R, W) reduction is written, keeping
+    # the VMEM stack at ~one product (a jnp.stack at the end keeps all D
+    # products live → 59 MB scoped OOM at config-5 shape; a fori_loop
+    # needs a dynamic lane store, which Mosaic requires to be
+    # 128-aligned).
+    for d in range(max_disp):
+        start = max_disp - 1 - d
+        fr_d = fr_ref[:, start : start + w, :].astype(jnp.float32)
+        cost_d = jnp.sum(fl * fr_d, axis=-1) * inv_c  # (R, W)
+        out_ref[:, :, d] = cost_d.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "interpret"))
+def correlation_pallas(
+    f_left: jnp.ndarray,
+    f_right: jnp.ndarray,
+    max_disp: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, H, W, C) x2 → (B, H, W, D) cost volume, D = max_disp."""
+    b, h, w, c = f_left.shape
+    d = max_disp
+    bh = b * h
+    fl = f_left.reshape(bh, w, c)
+    # Zero-pad F_R on the left of W once in HBM; kernel slices from VMEM.
+    fr = jnp.pad(f_right.reshape(bh, w, c), ((0, 0), (d - 1, 0), (0, 0)))
+
+    # Rows per block: sublane-friendly, bounded by a VMEM budget.
+    rows = 8
+    while bh % rows != 0:
+        rows //= 2
+    # Live VMEM per step: fl + fr_pad (input dtype) + one fp32 product +
+    # the fp32 out block.
+    esize = fl.dtype.itemsize
+    vmem = rows * ((w * c + (w + d - 1) * c) * esize + w * c * 4 + w * d * 4)
+    while vmem > 8 * 1024 * 1024 and rows > 1:
+        rows //= 2
+        vmem //= 2
+
+    grid = (bh // rows,)
+    out = pl.pallas_call(
+        functools.partial(_corr_kernel, max_disp=d, inv_c=1.0 / c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rows, w + d - 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, w, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, w, d), f_left.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * w * d * c,
+            bytes_accessed=(2 * bh * w * c + bh * w * d) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(fl, fr)
+    return out.reshape(b, h, w, d)

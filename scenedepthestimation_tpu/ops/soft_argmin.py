@@ -14,6 +14,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Default OFF: measured on v5e at config-5 shape (B16 H96 W288 D48) the
+# XLA lowering of the jnp readout beats the kernel (4.12 ms vs 4.94 ms) —
+# XLA's fusion already streams the volume once. The kernel stays for the
+# fused depth-epilogue variant and future shapes (bench log in BASELINE.md).
 _USE_PALLAS = False
 
 

@@ -1,0 +1,81 @@
+"""Pipelined input feed (SURVEY §3.4, §5.2; config 5 "pipelined input
+feed", BASELINE.json:11).
+
+Keeps the chips fed: a single producer thread decodes/stages host
+batches and ``device_put``s them (sharded over the mesh batch axis)
+while the device executes the previous batch — host decode overlaps
+device compute, the consumer only ever blocks when the device is ahead
+of the disk. Single-producer + bounded queue keeps the concurrency story
+trivially race-free (SURVEY §5.2: the host pipeline is the only
+concurrency in the system).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from scenedepthestimation_tpu.parallel.mesh import batch_sharding
+
+
+class PipelinedFeed:
+    """Wrap a host-batch iterable into a device-resident prefetch queue.
+
+    ``transfer`` maps a host batch → device batch; by default every
+    ndarray leaf is device_put (sharded on axis 0 over ``mesh`` when
+    given, single-device otherwise), non-array leaves pass through.
+    """
+
+    _END = object()
+
+    def __init__(
+        self,
+        batches: Iterable,
+        mesh=None,
+        depth: int = 2,
+        transfer: Optional[Callable] = None,
+    ):
+        self._queue: queue.Queue = queue.Queue(maxsize=depth)
+        self._sharding = batch_sharding(mesh) if mesh is not None else None
+        self._transfer = transfer or self._default_transfer
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._producer, args=(iter(batches),), daemon=True
+        )
+        self._thread.start()
+
+    def _default_transfer(self, batch):
+        def put(leaf):
+            if isinstance(leaf, np.ndarray) and leaf.ndim >= 1:
+                if self._sharding is not None:
+                    return jax.device_put(leaf, self._sharding)
+                return jax.device_put(leaf)
+            return leaf
+
+        if isinstance(batch, dict):
+            return {k: put(v) for k, v in batch.items()}
+        if isinstance(batch, (tuple, list)):
+            return type(batch)(put(v) for v in batch)
+        return put(batch)
+
+    def _producer(self, it: Iterator) -> None:
+        try:
+            for batch in it:
+                self._queue.put(self._transfer(batch))
+        except BaseException as e:  # surfaced on the consumer side
+            self._error = e
+        finally:
+            self._queue.put(self._END)
+
+    def __iter__(self):
+        while True:
+            item = self._queue.get()
+            if item is self._END:
+                if self._error is not None:
+                    raise self._error
+                return
+            yield item
