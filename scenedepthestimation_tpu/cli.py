@@ -88,6 +88,33 @@ def cmd_eval(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_predict_batch(args: argparse.Namespace) -> int:
+    from scenedepthestimation_tpu import api
+    from scenedepthestimation_tpu.infer import predict_files
+
+    predictor = api.load_weights(args.weights, args.config, seed=args.seed)
+    stereo = predictor.cfg.pipeline == "stereo"
+    with open(args.files) as f:
+        entries = [line.split() for line in f if line.strip()]
+    files = [tuple(e[:2]) if stereo else e[0] for e in entries]
+
+    mesh = None
+    if args.devices:
+        from scenedepthestimation_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
+    stats = predict_files(
+        predictor,
+        files,
+        args.out_dir,
+        batch_size=args.batch_size,
+        mesh=mesh,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import benchmark
 
@@ -126,6 +153,24 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--batch-size", type=int, default=None)
     pb.add_argument("--iters", type=int, default=32)
     pb.set_defaults(fn=cmd_bench)
+
+    pf = sub.add_parser(
+        "predict-batch",
+        help="resumable batched inference over a file list (sharded)",
+    )
+    pf.add_argument("--config", default="mono_kitti_192x640_fp32")
+    pf.add_argument("--weights", default=None)
+    pf.add_argument(
+        "--files",
+        required=True,
+        help="text file: one image path per line (mono) or 'left right' pairs (stereo)",
+    )
+    pf.add_argument("--out-dir", required=True)
+    pf.add_argument("--batch-size", type=int, default=8)
+    pf.add_argument("--devices", type=int, default=0, help="0 = no mesh")
+    pf.add_argument("--no-resume", action="store_true")
+    pf.add_argument("--seed", type=int, default=0)
+    pf.set_defaults(fn=cmd_predict_batch)
     return p
 
 

@@ -9,13 +9,47 @@ calib → projected depth maps. Everything downstream is device-resident.
 from __future__ import annotations
 
 import os
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
+
+# Native C++ PNG decoder (native/png_decode.cc): zlib inflate + unfilter
+# with the GIL released — the feed thread's decode truly overlaps JAX
+# dispatch on this 1-core host. Optional: PIL fallback below.
+try:
+    from scenedepthestimation_tpu import _native
+except ImportError:  # pure-Python install
+    _native = None
+
+_FORCE_PIL = False  # test hook
+
+
+def _native_decode(path: str) -> Optional[np.ndarray]:
+    """Decode a PNG via the C++ extension; None → caller falls back."""
+    if _native is None or _FORCE_PIL or not path.endswith(".png"):
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        pixels, w, h, channels, bit_depth = _native.decode_png(data)
+    except ValueError:
+        return None  # unsupported variant (palette/interlace/...)
+    if bit_depth == 8:
+        return np.frombuffer(pixels, np.uint8).reshape(h, w, channels)
+    # 16-bit gray, PNG is big-endian.
+    return np.frombuffer(pixels, ">u2").reshape(h, w).astype(np.uint16)
 
 
 def load_image(path: str) -> np.ndarray:
     """RGB uint8 (H, W, 3)."""
+    arr = _native_decode(path)
+    if arr is not None and arr.dtype == np.uint8:
+        if arr.shape[-1] == 3:
+            return arr
+        if arr.shape[-1] == 4:
+            return np.ascontiguousarray(arr[..., :3])
+        if arr.shape[-1] in (1, 2):  # gray / gray+alpha
+            return np.repeat(arr[..., :1], 3, axis=-1)
     from PIL import Image
 
     with Image.open(path) as im:
@@ -28,10 +62,12 @@ def load_depth_png16(path: str, scale: float = 256.0) -> np.ndarray:
     KITTI stores depth (annotated GT) and KITTI-2015 disparity as
     uint16 = value * 256 (SURVEY C1).
     """
-    from PIL import Image
+    arr = _native_decode(path)
+    if arr is None or arr.dtype != np.uint16:
+        from PIL import Image
 
-    with Image.open(path) as im:
-        arr = np.asarray(im)
+        with Image.open(path) as im:
+            arr = np.asarray(im)
     if arr.dtype != np.uint16:
         raise ValueError(f"{path}: expected 16-bit PNG, got {arr.dtype}")
     return arr.astype(np.float32) / scale
