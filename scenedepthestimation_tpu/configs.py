@@ -176,11 +176,13 @@ STEREO_KITTI2015_B16_BF16_V5E8 = RunConfig(
 )
 
 # Benchmark config: the judged metric is KITTI frames/sec/chip at 384x1152
-# (BASELINE.json:2) — monocular flagship shape.
+# (BASELINE.json:2) — monocular flagship shape. b128 measured fastest on
+# v5e-1 (262 fps @ b8 → 1113 fps @ b128; decoder's small-channel convs
+# are data-movement-bound, batch amortizes them — BASELINE.md log).
 MONO_KITTI_384x1152_BENCH = RunConfig(
     name="mono_kitti_384x1152_bench",
     pipeline="mono",
-    batch_size=8,
+    batch_size=128,
     dtype="bfloat16",
     mono=MonoConfig(height=384, width=1152),
 )

@@ -117,3 +117,33 @@ def stereo_supervised_loss(
     v = valid.astype(jnp.float32)
     per_px = smooth_l1(pred_disp, gt_disp) * v
     return jnp.sum(per_px) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def stereo_selfsup_loss(
+    pred_disp: jnp.ndarray,
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    smoothness_weight: float = 1e-3,
+    alpha: float = 0.85,
+) -> jnp.ndarray:
+    """Self-supervised photometric stereo loss (SURVEY C14, monodepth
+    stereo mode — no pose net needed, the rig baseline IS the pose).
+
+    Reconstruct the left view by warping the right view with the
+    predicted disparity; penalize SSIM+L1 photometric error (masked to
+    in-frame samples) plus edge-aware smoothness.
+    """
+    from scenedepthestimation_tpu.ops.warp import (
+        valid_mask_horizontal,
+        warp_horizontal,
+    )
+
+    w = left.shape[2]
+    recon = warp_horizontal(right, pred_disp)
+    err = photometric_error(recon, left, alpha=alpha)  # (B, H-2, W-2)
+    valid = valid_mask_horizontal(pred_disp, w)[:, 1:-1, 1:-1]
+    photo = jnp.sum(jnp.where(valid, err, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1.0
+    )
+    smooth = edge_aware_smoothness(pred_disp[..., None] / w, left)
+    return photo + smoothness_weight * smooth

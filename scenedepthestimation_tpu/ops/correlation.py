@@ -48,12 +48,64 @@ def correlation1d(
     if use is None:
         use = jax.default_backend() == "tpu"
     if use:
-        from scenedepthestimation_tpu.ops.pallas.correlation import (
-            correlation_pallas,
-        )
-
-        return correlation_pallas(f_left, f_right, max_disp)
+        return _correlation_pallas_op(f_left, f_right, max_disp)
     return _correlation_jnp(f_left, f_right, max_disp)
+
+
+# --------------------------------------------------------------------------
+# Pallas forward + analytic backward (Pallas kernels have no automatic
+# VJP — without this, stereo TRAINING fails on TPU while inference works;
+# caught by driving the selfsup train step on the real chip).
+#
+#   cost[w, d]   = 1/C Σ_c  fl[w, c] · fr[w-d, c]
+#   ∂L/∂fl[w, c] = 1/C Σ_d  g[w, d]  · fr[w-d, c]      (shift fr right)
+#   ∂L/∂fr[w, c] = 1/C Σ_d  g[w+d, d]· fl[w+d, c]      (shift g·fl left)
+# --------------------------------------------------------------------------
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _correlation_pallas_op(f_left, f_right, max_disp: int):
+    from scenedepthestimation_tpu.ops.pallas.correlation import (
+        correlation_pallas,
+    )
+
+    return correlation_pallas(f_left, f_right, max_disp)
+
+
+def _corr_fwd(f_left, f_right, max_disp: int):
+    return _correlation_pallas_op(f_left, f_right, max_disp), (f_left, f_right)
+
+
+def _corr_bwd(max_disp: int, residuals, g):
+    f_left, f_right = residuals
+    b, h, w, c = f_left.shape
+    inv_c = 1.0 / c
+    g = g.astype(jnp.float32)
+    fl = f_left.astype(jnp.float32)
+    fr = f_right.astype(jnp.float32)
+
+    fr_pad = jnp.pad(fr, ((0, 0), (0, 0), (max_disp - 1, 0), (0, 0)))
+    d_fl = jnp.zeros_like(fl)
+    d_fr = jnp.zeros_like(fr)
+    for d in range(max_disp):
+        start = max_disp - 1 - d
+        fr_d = fr_pad[:, :, start : start + w, :]  # fr shifted right by d
+        g_d = g[..., d : d + 1]  # (B, H, W, 1)
+        d_fl = d_fl + g_d * fr_d
+        # scatter g_d·fl back to fr positions w-d  ≡  shift left by d
+        contrib = g_d * fl
+        shifted = jnp.pad(contrib, ((0, 0), (0, 0), (0, d), (0, 0)))[:, :, d:, :]
+        d_fr = d_fr + shifted
+    return (
+        (d_fl * inv_c).astype(f_left.dtype),
+        (d_fr * inv_c).astype(f_right.dtype),
+    )
+
+
+_correlation_pallas_op.defvjp(_corr_fwd, _corr_bwd)
 
 
 def _correlation_jnp(

@@ -148,6 +148,86 @@ def make_stereo_train_step(cfg: RunConfig):
     return train_step
 
 
+def make_stereo_selfsup_train_step(cfg: RunConfig):
+    """Self-supervised stereo step (no GT): batch = {'left','right'}."""
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    net_hw = (cfg.stereo.height, cfg.stereo.width)
+
+    def loss_fn(params, batch):
+        xl = preprocess(batch["left"], net_hw, cfg.pre, compute_dtype=dtype)
+        xr = preprocess(batch["right"], net_hw, cfg.pre, compute_dtype=dtype)
+        model = StereoNet(cfg=cfg.stereo, dtype=dtype)
+        disp = model.apply({"params": params}, xl, xr).astype(jnp.float32)
+        # Photometric target in [0,1] intensity space.
+        l01 = batch["left"].astype(jnp.float32) / 255.0
+        r01 = batch["right"].astype(jnp.float32) / 255.0
+        if l01.shape[1:3] != net_hw:
+            from scenedepthestimation_tpu.ops.preprocess import resize_bilinear
+
+            l01 = resize_bilinear(l01, net_hw)
+            r01 = resize_bilinear(r01, net_hw)
+        return losses.stereo_selfsup_loss(disp, l01, r01)
+
+    @jax.jit
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        state = state.apply_gradients(grads, state.batch_stats)
+        return state, {"loss": loss}
+
+    return train_step
+
+
+def make_mono_selfsup_train_step(cfg: RunConfig):
+    """Self-supervised MONOCULAR training from stereo pairs (the
+    monodepth/monodepth2 'stereo mode', SURVEY C14): the mono net sees
+    only the left image; its disparity warps the right view into a left
+    reconstruction; the rig baseline is the known 'pose', so no pose
+    network is required. Multi-scale: every scale is upsampled to full
+    resolution before the photometric term (monodepth2 protocol)."""
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    net_hw = (cfg.mono.height, cfg.mono.width)
+    fx_b = cfg.stereo.focal_px * cfg.stereo.baseline_m
+
+    def loss_fn(params, batch_stats, batch):
+        from scenedepthestimation_tpu.ops.disp_to_depth import disp_to_depth
+        from scenedepthestimation_tpu.ops.upsample import upsample2x
+
+        xl = preprocess(batch["left"], net_hw, cfg.pre, compute_dtype=dtype)
+        model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
+        disps, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            xl,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        l01 = batch["left"].astype(jnp.float32) / 255.0
+        r01 = batch["right"].astype(jnp.float32) / 255.0
+
+        total = 0.0
+        for s, d in sorted(disps.items()):
+            d = d.astype(jnp.float32)
+            for _ in range(s):
+                d = upsample2x(d, mode="bilinear")
+            _, depth = disp_to_depth(
+                d[..., 0], cfg.mono.min_depth, cfg.mono.max_depth
+            )
+            disp_px = fx_b / depth  # rectified-rig reprojection
+            total = total + losses.stereo_selfsup_loss(
+                disp_px, l01, r01, smoothness_weight=1e-3 / (2.0**s)
+            )
+        return total / len(disps), mutated["batch_stats"]
+
+    @jax.jit
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        state = state.apply_gradients(grads, new_stats)
+        return state, {"loss": loss}
+
+    return train_step
+
+
 @dataclasses.dataclass
 class Trainer:
     """Epoch loop with logging + periodic Orbax saves (SURVEY C18/§3.5)."""
