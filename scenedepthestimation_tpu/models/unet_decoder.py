@@ -14,32 +14,83 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from scenedepthestimation_tpu.ops.upsample import upsample_concat, upsample2x
+
+# Default OFF by measurement: end-to-end mono bench at b64 is 603.7
+# fps/chip with XLA ConvBlocks vs 306.9 with the fused Pallas kernel —
+# the triple halo-window reads plus the 128-lane padding of C=16 VMEM
+# blocks cost more than the pad-copy + ELU passes they remove. The
+# kernel stays in-tree with its numbers (BASELINE.md); `None` = same as
+# False until a layout-packed variant wins.
+_USE_FUSED_CONV: bool | None = None
+
+
+def set_use_fused_conv(flag: bool | None) -> None:
+    global _USE_FUSED_CONV
+    _USE_FUSED_CONV = flag
 
 
 def _reflect_pad(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
 
 
+class PallasConv3x3(nn.Module):
+    """reflect-pad 3x3 conv + activation with an identical param tree to
+    ``nn.Conv`` (kernel (3,3,Cin,Cout), bias (Cout,), same default init)
+    so checkpoints and the torch importer are agnostic to the backend.
+    Dispatches to the fused Pallas kernel on TPU (forward fused, backward
+    = exact XLA VJP), XLA reference path elsewhere."""
+
+    features: int
+    activation: str = "elu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from scenedepthestimation_tpu.ops.pallas.conv_block import (
+            _pick_th,
+            conv3x3_fused,
+            conv3x3_xla,
+        )
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+
+        use = bool(_USE_FUSED_CONV)
+        tileable = _pick_th(
+            x.shape[1], x.shape[2], cin, self.features, x.dtype.itemsize
+        )
+        if use and tileable > 0:
+            return conv3x3_fused(x, kernel, bias, self.activation)
+        return conv3x3_xla(x, kernel, bias, self.activation)
+
+
 class ConvBlock(nn.Module):
-    """3x3 conv with reflection padding followed by ELU."""
+    """3x3 conv with reflection padding followed by ELU (decoder hot op)."""
 
     channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.Conv(
-            self.channels,
-            (3, 3),
-            padding="VALID",
+        return PallasConv3x3(
+            features=self.channels,
+            activation="elu",
             dtype=self.dtype,
             name="conv",
-        )(_reflect_pad(x))
-        return nn.elu(y)
+        )(x)
 
 
 class DispHead(nn.Module):

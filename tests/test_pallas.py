@@ -126,3 +126,64 @@ def test_correlation_pallas_vjp_matches_oracle():
 
     np.testing.assert_allclose(np.asarray(got_fl), np.asarray(want_fl), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_fr), np.asarray(want_fr), atol=1e-5)
+
+
+def test_conv3x3_fused_matches_xla():
+    from scenedepthestimation_tpu.ops.pallas.conv_block import (
+        conv3x3_elu_pallas,
+        conv3x3_xla,
+    )
+
+    rng = np.random.default_rng(10)
+    for shape in [(2, 16, 24, 8, 12), (1, 8, 10, 3, 5), (1, 12, 20, 16, 16)]:
+        b, h, w, cin, cout = shape
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+        k = jnp.asarray((rng.normal(size=(3, 3, cin, cout)) * 0.1).astype(np.float32))
+        bb = jnp.asarray((rng.normal(size=(cout,)) * 0.1).astype(np.float32))
+        want = conv3x3_xla(x, k, bb)
+        got = conv3x3_elu_pallas(x, k, bb, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-6, err_msg=str(shape)
+        )
+
+
+def test_conv3x3_fused_vjp_matches_xla():
+    import jax
+
+    import scenedepthestimation_tpu.ops.pallas.conv_block as cb
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 8, 12, 6)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(3, 3, 6, 4)) * 0.1).astype(np.float32))
+    b = jnp.asarray((rng.normal(size=(4,)) * 0.1).astype(np.float32))
+
+    orig = cb.conv3x3_elu_pallas
+    cb.conv3x3_elu_pallas = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    try:
+        gx, gk, gb = jax.grad(
+            lambda *args: cb.conv3x3_fused(*args, "elu").sum(), argnums=(0, 1, 2)
+        )(x, k, b)
+    finally:
+        cb.conv3x3_elu_pallas = orig
+    wx, wk, wb = jax.grad(
+        lambda *args: cb.conv3x3_xla(*args, "elu").sum(), argnums=(0, 1, 2)
+    )(x, k, b)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(wk), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(wb), atol=1e-5)
+
+
+def test_decoder_convblock_param_tree_unchanged():
+    """PallasConv3x3 must keep the exact nn.Conv param layout so torch
+    import and old checkpoints keep working."""
+    import jax
+
+    from scenedepthestimation_tpu.models.unet_decoder import ConvBlock
+
+    variables = ConvBlock(channels=8).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4))
+    )
+    kernel = variables["params"]["conv"]["kernel"]
+    bias = variables["params"]["conv"]["bias"]
+    assert kernel.shape == (3, 3, 4, 8)
+    assert bias.shape == (8,)
