@@ -39,12 +39,18 @@ def read_split_file(path: str) -> List[Tuple[str, int, str]]:
 
 @dataclass
 class KittiRawDataset:
-    """Eigen-split KITTI raw frames with optional GT depth."""
+    """Eigen-split KITTI raw frames with optional GT depth.
+
+    ``load_pair=True`` additionally loads the opposite camera of the
+    rectified rig as ``pair_image`` (self-supervised 'stereo mode'
+    training, SURVEY C14) along with the rig intrinsics.
+    """
 
     root: str
     split_file: str
     gt: str = "velodyne"  # "velodyne" | "improved" | "none"
     gt_root: Optional[str] = None  # for improved GT (defaults to root)
+    load_pair: bool = False
 
     def __post_init__(self):
         self.items = read_split_file(self.split_file)
@@ -68,6 +74,19 @@ class KittiRawDataset:
             "side": side,
             "index": idx,
         }
+        if self.load_pair:
+            other = "r" if side == "l" else "l"
+            pair_path = os.path.join(
+                self.root, folder, _SIDE_DIR[other], "data", f"{frame:010d}.png"
+            )
+            sample["pair_image"] = io.load_image(pair_path)
+            date = folder.split("/")[0]
+            try:
+                sample["intrinsics"] = io.kitti_intrinsics(
+                    os.path.join(self.root, date), cam=_SIDE_CAM[side]
+                )
+            except (OSError, KeyError):
+                sample["intrinsics"] = None
         if self.gt == "velodyne":
             date = folder.split("/")[0]
             calib_dir = os.path.join(self.root, date)

@@ -92,13 +92,26 @@ def make_train_state(
     )
 
 
-def make_mono_train_step(cfg: RunConfig):
+def make_mono_train_step(cfg: RunConfig, augment: bool = False):
     """Supervised monocular step: batch = {'image' uint8 BHW3,
-    'gt_disp' float BHW1 in sigmoid units (0 = invalid)}."""
+    'gt_disp' float BHW1 in sigmoid units (0 = invalid)}.
+
+    ``augment=True`` applies on-device random flip + color jitter
+    (ops/augment, SURVEY C2); the batch must then carry an 'rng' key.
+    """
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     net_hw = (cfg.mono.height, cfg.mono.width)
 
     def loss_fn(params, batch_stats, batch):
+        if augment:
+            from scenedepthestimation_tpu.ops.augment import augment_mono
+            from scenedepthestimation_tpu.ops.preprocess import to_float
+
+            aug = augment_mono(
+                batch["rng"],
+                {"image": to_float(batch["image"]), "gt_disp": batch["gt_disp"]},
+            )
+            batch = {**batch, **aug}
         x = preprocess(batch["image"], net_hw, cfg.pre, compute_dtype=dtype)
         variables = {"params": params, "batch_stats": batch_stats}
         disps, mutated = _apply_train(variables, x)

@@ -200,3 +200,21 @@ def test_nyu_dataset_png_layout(tmp_path):
     assert s["image"].shape == (48, 64, 3)
     assert s["gt_depth"].shape == (48, 64)
     assert 0.4 < s["gt_depth"].mean() < 10.0
+
+
+def test_kitti_load_pair(tmp_path):
+    root, split = _make_kitti_raw(tmp_path, n=1)
+    # add the right-camera frame
+    drive = "2011_09_26/2011_09_26_drive_0002_sync"
+    rng = np.random.default_rng(9)
+    _write_png(
+        str(root / drive / "image_03" / "data" / f"{0:010d}.png"),
+        rng.integers(0, 256, (32, 96, 3), dtype=np.uint8),
+    )
+    from scenedepthestimation_tpu.data.kitti import KittiRawDataset
+
+    ds = KittiRawDataset(root=str(root), split_file=str(split), gt="none",
+                         load_pair=True)
+    s = ds[0]
+    assert s["pair_image"].shape == (32, 96, 3)
+    assert s["intrinsics"]["focal_px"] == pytest.approx(100.0)

@@ -91,3 +91,15 @@ def test_encoder_feature_pyramid():
         (1, 4, 8, 256),
         (1, 2, 4, 512),
     ]
+
+
+def test_resnet34_encoder():
+    from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+
+    enc = ResNetEncoder(num_layers=34)
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(variables, x)
+    assert [f.shape[-1] for f in feats] == [64, 64, 128, 256, 512]
+    # 34-layer plan has (3,4,6,3) blocks
+    assert "layer3_5" in variables["params"]

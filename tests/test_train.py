@@ -118,3 +118,18 @@ def test_bn_stats_update_in_train_mode():
     state, _ = step(state, batch)
     after = np.asarray(state.batch_stats["encoder"]["bn1"]["mean"])
     assert not np.allclose(before, after)
+
+
+def test_mono_train_step_with_augmentation():
+    import jax
+
+    rng = np.random.default_rng(4)
+    batch = {
+        "image": rng.integers(0, 256, (2, 32, 64, 3), dtype=np.uint8),
+        "gt_disp": rng.uniform(0.05, 0.9, (2, 32, 64, 1)).astype(np.float32),
+        "rng": jax.random.PRNGKey(0),
+    }
+    state = train.make_train_state(TINY_MONO, seed=0)
+    step = train.make_mono_train_step(TINY_MONO, augment=True)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
