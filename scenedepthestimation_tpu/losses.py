@@ -119,6 +119,57 @@ def stereo_supervised_loss(
     return jnp.sum(per_px) / jnp.maximum(jnp.sum(v), 1.0)
 
 
+def mono_temporal_selfsup_loss(
+    disps,
+    target: jnp.ndarray,
+    sources,
+    t_mats,
+    k: jnp.ndarray,
+    k_inv: jnp.ndarray,
+    min_depth: float,
+    max_depth: float,
+    smoothness_weight: float = 1e-3,
+) -> jnp.ndarray:
+    """monodepth2 temporal photometric loss (SURVEY C14): per scale,
+    upsample disparity to full res, convert to depth, reproject every
+    source frame into the target view, take the per-pixel MINIMUM
+    photometric error over sources AND over identity reprojections
+    (automasking of static pixels / moving objects), plus edge-aware
+    smoothness decayed by scale.
+
+    disps: {scale: (B, h_s, w_s, 1) sigmoid}; target (B, H, W, 3) [0,1];
+    sources: list of (B, H, W, 3); t_mats: list of (B, 4, 4).
+    """
+    from scenedepthestimation_tpu.ops.disp_to_depth import disp_to_depth
+    from scenedepthestimation_tpu.ops.project import reproject_sample
+    from scenedepthestimation_tpu.ops.upsample import upsample2x
+
+    # Identity errors (computed once — scale-independent): the automask
+    # term. Tiny epsilon breaks ties in favour of reprojection (the
+    # lineage adds randn*1e-5; a constant keeps the loss deterministic).
+    identity_errs = [
+        photometric_error(src, target) + 1e-5 for src in sources
+    ]
+
+    total = 0.0
+    for s, disp in sorted(disps.items()):
+        d = disp.astype(jnp.float32)
+        for _ in range(s):
+            d = upsample2x(d, mode="bilinear")
+        _, depth = disp_to_depth(d[..., 0], min_depth, max_depth)
+
+        reproj_errs = []
+        for src, t_mat in zip(sources, t_mats):
+            recon, _ = reproject_sample(src, depth, k, k_inv, t_mat)
+            reproj_errs.append(photometric_error(recon, target))
+        all_errs = jnp.stack(reproj_errs + identity_errs, axis=0)
+        min_err = jnp.min(all_errs, axis=0)  # (B, H-2, W-2)
+
+        smooth = edge_aware_smoothness(d, target)
+        total = total + jnp.mean(min_err) + smoothness_weight * smooth / (2.0**s)
+    return total / len(disps)
+
+
 def stereo_selfsup_loss(
     pred_disp: jnp.ndarray,
     left: jnp.ndarray,

@@ -241,6 +241,108 @@ def make_mono_selfsup_train_step(cfg: RunConfig):
     return train_step
 
 
+def make_temporal_train_state(
+    cfg: RunConfig, seed: int = 0, learning_rate: float = 1e-4
+) -> TrainState:
+    """Joint depth+pose state for temporal self-supervision (SURVEY
+    §3.5 / C14): params = {'depth': ..., 'pose': ...}."""
+    from scenedepthestimation_tpu.models.posenet import PoseNet
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    h, w = cfg.mono.height, cfg.mono.width
+    depth_model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
+    pose_model = PoseNet(dtype=dtype)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    dvars = depth_model.init(k1, jnp.zeros((1, h, w, 3), dtype))
+    pvars = pose_model.init(k2, jnp.zeros((1, h, w, 6), dtype))
+    params = {"depth": dvars["params"], "pose": pvars["params"]}
+    batch_stats = {
+        "depth": dvars.get("batch_stats", {}),
+        "pose": pvars.get("batch_stats", {}),
+    }
+    tx = make_optimizer(learning_rate)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=depth_model.apply,
+    )
+
+
+def make_mono_temporal_train_step(cfg: RunConfig):
+    """Temporal self-supervised monocular step (monodepth2 protocol):
+    batch = {'frames' uint8 (B, 3, H, W, 3) ordered [prev, target, next],
+    'K' (B, 3, 3) pixel intrinsics at network resolution}.
+
+    One SPMD program: preprocess all frames, PoseNet on (prev,target) and
+    (target,next), depth on the target, min-reprojection + automask loss,
+    backward, Adam — poses and depth trained jointly.
+    """
+    from scenedepthestimation_tpu.models.posenet import PoseNet
+    from scenedepthestimation_tpu.ops.project import pose_vec_to_mat
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    net_hw = (cfg.mono.height, cfg.mono.width)
+    depth_model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
+    pose_model = PoseNet(dtype=dtype)
+
+    def loss_fn(params, batch_stats, batch):
+        frames01 = batch["frames"].astype(jnp.float32) / 255.0  # (B,3,H,W,3)
+        prev, target, nxt = frames01[:, 0], frames01[:, 1], frames01[:, 2]
+        x = preprocess(batch["frames"][:, 1], net_hw, cfg.pre, compute_dtype=dtype)
+
+        dvars = {"params": params["depth"], "batch_stats": batch_stats["depth"]}
+        disps, mutated = depth_model.apply(
+            dvars, x, train=True, mutable=["batch_stats"]
+        )
+        disps = {s: d for s, d in disps.items()}
+
+        pose_stats = batch_stats["pose"]
+
+        def pose_for(a, b, invert, stats):
+            pair = jnp.concatenate(
+                [a.astype(dtype), b.astype(dtype)], axis=-1
+            )
+            (aa, tt), mut = pose_model.apply(
+                {"params": params["pose"], "batch_stats": stats},
+                pair,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return pose_vec_to_mat(aa, tt, invert=invert), mut["batch_stats"]
+
+        # monodepth2 convention: pose input is temporally ordered, the
+        # transform for the earlier frame is inverted.
+        t_prev, pose_stats = pose_for(prev, target, True, pose_stats)
+        t_next, pose_stats = pose_for(target, nxt, False, pose_stats)
+
+        k = batch["K"].astype(jnp.float32)
+        k_inv = jnp.linalg.inv(k)
+        loss = losses.mono_temporal_selfsup_loss(
+            disps,
+            target,
+            [prev, nxt],
+            [t_prev, t_next],
+            k,
+            k_inv,
+            cfg.mono.min_depth,
+            cfg.mono.max_depth,
+        )
+        return loss, {"depth": mutated["batch_stats"], "pose": pose_stats}
+
+    @jax.jit
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        state = state.apply_gradients(grads, new_stats)
+        return state, {"loss": loss}
+
+    return train_step
+
+
 @dataclasses.dataclass
 class Trainer:
     """Epoch loop with logging + periodic Orbax saves (SURVEY C18/§3.5)."""
