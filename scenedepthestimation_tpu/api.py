@@ -34,17 +34,30 @@ def _compute_dtype(cfg: RunConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
-def build_mono_program(cfg: RunConfig, model: MonoDepthNet):
+def build_mono_program(
+    cfg: RunConfig, model: MonoDepthNet, post_process: bool = False
+):
     """Un-jitted end-to-end mono program (SURVEY §3.1): uint8 frames →
     {'disp', 'depth'} at source resolution. jit-wrapped by Predictor;
-    also exported raw for the driver's compile check (__graft_entry__)."""
+    also exported raw for the driver's compile check (__graft_entry__).
+
+    ``post_process=True`` enables the monodepth-lineage flip-averaging
+    TTA: the batch is doubled with mirrored frames and the two disparity
+    maps are blended with the standard ramp mask (UNVERIFIED vs
+    reference; standard family option).
+    """
     net_hw = (cfg.mono.height, cfg.mono.width)
     dtype = _compute_dtype(cfg)
 
     def program(variables, img):
         x = preprocess(img, net_hw, cfg.pre, compute_dtype=dtype)
+        if post_process:
+            x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
         disps = model.apply(variables, x)
-        disp0 = disps[0].astype(jnp.float32)  # (B, h, w, 1)
+        disp0 = disps[0].astype(jnp.float32)  # (B', h, w, 1)
+        if post_process:
+            b = img.shape[0]
+            disp0 = _blend_flipped(disp0[:b], disp0[b:, :, ::-1, :])
         src_hw = img.shape[-3:-1]
         if tuple(src_hw) != net_hw:
             disp0 = resize_bilinear(disp0, src_hw, antialias=False)
@@ -54,6 +67,19 @@ def build_mono_program(cfg: RunConfig, model: MonoDepthNet):
         return {"disp": scaled_disp, "depth": depth}
 
     return program
+
+
+def _blend_flipped(disp: jnp.ndarray, disp_flip: jnp.ndarray) -> jnp.ndarray:
+    """monodepth flip-averaging: ramp in the un-mirrored map near the
+    left edge, the mirrored map near the right, mean in between."""
+    w = disp.shape[2]
+    xs = jnp.linspace(0.0, 1.0, w, dtype=disp.dtype)[None, None, :, None]
+    # Family convention: full weight to the mirrored view inside the left
+    # 5% border, ramp over the next 5%, symmetric on the right.
+    l_mask = 1.0 - jnp.clip(20.0 * (xs - 0.05), 0.0, 1.0)
+    r_mask = l_mask[:, :, ::-1, :]
+    mean = 0.5 * (disp + disp_flip)
+    return r_mask * disp + l_mask * disp_flip + (1.0 - l_mask - r_mask) * mean
 
 
 def build_stereo_program(cfg: RunConfig, model: StereoNet):
@@ -98,8 +124,12 @@ class Predictor:
     # -- compiled end-to-end programs (cached per input shape) ----------
 
     @functools.lru_cache(maxsize=8)
-    def _mono_program(self, in_shape: Tuple[int, ...], in_dtype: str):
-        return jax.jit(build_mono_program(self.cfg, self.model))
+    def _mono_program(
+        self, in_shape: Tuple[int, ...], in_dtype: str, post_process: bool = False
+    ):
+        return jax.jit(
+            build_mono_program(self.cfg, self.model, post_process=post_process)
+        )
 
     @functools.lru_cache(maxsize=8)
     def _stereo_program(self, in_shape: Tuple[int, ...], in_dtype: str):
@@ -107,8 +137,12 @@ class Predictor:
 
     # -- forward helpers -------------------------------------------------
 
-    def mono_forward(self, img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        program = self._mono_program(tuple(img.shape), str(img.dtype))
+    def mono_forward(
+        self, img: jnp.ndarray, post_process: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        program = self._mono_program(
+            tuple(img.shape), str(img.dtype), post_process
+        )
         return program(self.variables, img)
 
     def stereo_forward(
@@ -161,14 +195,17 @@ def _ensure_batched(img: np.ndarray | jnp.ndarray) -> Tuple[jnp.ndarray, bool]:
     raise ValueError(f"expected (H,W,3) or (B,H,W,3), got {arr.shape}")
 
 
-def predict_mono(predictor: Predictor, image) -> Dict[str, np.ndarray]:
+def predict_mono(
+    predictor: Predictor, image, post_process: bool = False
+) -> Dict[str, np.ndarray]:
     """Depth map from a single RGB image (or batch). uint8 HWC in.
 
     Returns numpy {'depth': (.., H, W), 'disp': (.., H, W)} at the source
-    resolution, squeezed if the input was unbatched.
+    resolution, squeezed if the input was unbatched. ``post_process``
+    enables flip-averaging TTA (doubles compute).
     """
     img, squeeze = _ensure_batched(image)
-    out = predictor.mono_forward(img)
+    out = predictor.mono_forward(img, post_process=post_process)
     out = {k: np.asarray(v) for k, v in out.items()}
     if squeeze:
         out = {k: v[0] for k, v in out.items()}

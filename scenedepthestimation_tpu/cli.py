@@ -54,7 +54,9 @@ def cmd_predict(args: argparse.Namespace) -> int:
         if not args.image:
             print("mono config needs --image", file=sys.stderr)
             return 2
-        out = api.predict_mono(predictor, _load_image(args.image))
+        out = api.predict_mono(
+            predictor, _load_image(args.image), post_process=args.post_process
+        )
         src = args.image
 
     prefix = args.output or os.path.splitext(src)[0]
@@ -136,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--left", help="left image (stereo)")
     pp.add_argument("--right", help="right image (stereo)")
     pp.add_argument("--output", help="output path prefix")
+    pp.add_argument(
+        "--post-process",
+        action="store_true",
+        help="flip-averaging TTA (mono; doubles compute)",
+    )
     pp.add_argument("--seed", type=int, default=0)
     pp.set_defaults(fn=cmd_predict)
 
@@ -176,7 +183,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except KeyError as e:
+        # Unknown preset names raise KeyError from configs.get; show the
+        # message, not a traceback.
+        print(f"error: {e.args[0]}", file=sys.stderr)
+        return 2
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

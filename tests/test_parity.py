@@ -159,3 +159,12 @@ def test_nearest_upsample_parity():
 
     jout = np.asarray(upsample2x(jnp.asarray(x), mode="nearest"))
     np.testing.assert_allclose(jout, tout, atol=0)
+
+
+def test_parity_abs_rel_within_budget():
+    """The judged parity component (BASELINE.json:2): abs-rel delta vs
+    the reference stand-in must be far inside the 1e-3 budget."""
+    from scenedepthestimation_tpu.benchmark import parity_abs_rel
+
+    delta = parity_abs_rel("float32")
+    assert delta is not None and delta < 1e-3, delta

@@ -103,3 +103,19 @@ def test_resnet34_encoder():
     assert [f.shape[-1] for f in feats] == [64, 64, 128, 256, 512]
     # 34-layer plan has (3,4,6,3) blocks
     assert "layer3_5" in variables["params"]
+
+
+def test_mono_post_process_flip_averaging():
+    predictor = load_weights(None, TINY_MONO, seed=0)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(64, 128, 3), dtype=np.uint8)
+    plain = predict_mono(predictor, img)
+    tta = predict_mono(predictor, img, post_process=True)
+    assert tta["depth"].shape == plain["depth"].shape
+    assert not np.allclose(tta["disp"], plain["disp"])
+    # Mirrored input must give the mirrored TTA output (flip-equivariance
+    # of the averaged estimate).
+    tta_m = predict_mono(predictor, img[:, ::-1], post_process=True)
+    np.testing.assert_allclose(
+        tta_m["disp"], tta["disp"][:, ::-1], rtol=2e-4, atol=2e-5
+    )
