@@ -223,7 +223,7 @@ def predict_stereo(predictor: Predictor, left, right) -> Dict[str, np.ndarray]:
     return out
 
 
-def predict_batch(predictor: Predictor, images, mesh=None, donate: bool = False):
+def predict_batch(predictor: Predictor, images, mesh=None):
     """Sharded batched inference (SURVEY §3.4). Thin wrapper for now;
     the pipelined multi-chip feed lives in parallel/feed.py (config 5)."""
     from scenedepthestimation_tpu.parallel import batch_inference

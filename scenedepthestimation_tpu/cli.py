@@ -117,6 +117,89 @@ def cmd_predict_batch(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_train(args: argparse.Namespace) -> int:
+    import dataclasses
+    import time
+
+    from scenedepthestimation_tpu import configs, train
+    from scenedepthestimation_tpu.data import train_feed
+
+    default_cfg = {
+        "stereo-supervised": "stereo_256x512_b4",
+        "stereo-selfsup": "stereo_256x512_b4",
+        "mono-selfsup-temporal": "mono_kitti_192x640_fp32",
+    }[args.mode]
+    cfg = configs.get(args.config or default_cfg)
+    if args.batch_size:
+        cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    net_hw = (cfg.height, cfg.width)
+
+    if args.mode.startswith("stereo"):
+        from scenedepthestimation_tpu.data.kitti2015 import Kitti2015Dataset
+
+        ds = Kitti2015Dataset(root=args.data_root)
+        if args.mode == "stereo-supervised":
+            batches = train_feed.stereo_train_batches(
+                ds, net_hw, cfg.batch_size, seed=args.seed
+            )
+            step_fn = train.make_stereo_train_step(cfg)
+        else:
+            batches = train_feed.stereo_selfsup_batches(
+                ds, net_hw, cfg.batch_size, seed=args.seed
+            )
+            step_fn = train.make_stereo_selfsup_train_step(cfg)
+        state = train.make_train_state(cfg, seed=args.seed, learning_rate=args.lr)
+    else:
+        from scenedepthestimation_tpu.data.kitti import KittiRawDataset
+
+        sf = args.split_file or os.path.join(
+            args.data_root, "splits", "eigen", "train_files.txt"
+        )
+        base = KittiRawDataset(
+            root=args.data_root, split_file=sf, gt="none"
+        )
+        triplets = train_feed.TripletDataset(base)
+        batches = train_feed.temporal_train_batches(
+            triplets, net_hw, cfg.batch_size, cfg.stereo.focal_px, seed=args.seed
+        )
+        step_fn = train.make_mono_temporal_train_step(cfg)
+        state = train.make_temporal_train_state(
+            cfg, seed=args.seed, learning_rate=args.lr
+        )
+
+    t0 = time.time()
+    for i, batch in enumerate(batches):
+        if i >= args.steps:
+            break
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % args.log_every == 0:
+            print(
+                json.dumps(
+                    {
+                        "step": i + 1,
+                        "loss": round(float(metrics["loss"]), 6),
+                        "sec_per_step": round((time.time() - t0) / (i + 1), 3),
+                    }
+                ),
+                flush=True,
+            )
+        if args.save and (i + 1) % args.save_every == 0:
+            _save_train_state(state, f"{args.save}/step_{i + 1:07d}")
+    if args.save:
+        _save_train_state(state, f"{args.save}/final")
+        print(json.dumps({"saved": f"{args.save}/final"}))
+    return 0
+
+
+def _save_train_state(state, path: str) -> None:
+    from scenedepthestimation_tpu.utils import checkpoint
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    checkpoint.save_variables(path, variables)
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import benchmark
 
@@ -178,6 +261,28 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--no-resume", action="store_true")
     pf.add_argument("--seed", type=int, default=0)
     pf.set_defaults(fn=cmd_predict_batch)
+
+    pt = sub.add_parser("train", help="train a pipeline")
+    pt.add_argument(
+        "--mode",
+        default="stereo-supervised",
+        choices=[
+            "stereo-supervised",
+            "stereo-selfsup",
+            "mono-selfsup-temporal",
+        ],
+    )
+    pt.add_argument("--config", default=None, help="preset (defaults per mode)")
+    pt.add_argument("--data-root", required=True)
+    pt.add_argument("--split-file", default=None, help="KITTI raw split (temporal)")
+    pt.add_argument("--steps", type=int, default=1000)
+    pt.add_argument("--batch-size", type=int, default=None)
+    pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument("--save", default=None, help="orbax checkpoint dir")
+    pt.add_argument("--save-every", type=int, default=1000)
+    pt.add_argument("--log-every", type=int, default=50)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.set_defaults(fn=cmd_train)
     return p
 
 

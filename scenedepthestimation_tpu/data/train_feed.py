@@ -1,0 +1,143 @@
+"""Training batchers (SURVEY C18 data path): fixed-size batches at
+network resolution via random crop (the family's training convention),
+host-side only for indexing/crop — augmentation itself runs on device
+(ops/augment inside the train step).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def _random_crop(rng, arrays, out_hw):
+    """Crop a consistent window from (H, W, ...) arrays."""
+    h, w = arrays[0].shape[:2]
+    th, tw = out_hw
+    if h < th or w < tw:
+        raise ValueError(f"frame {h}x{w} smaller than crop {th}x{tw}")
+    y = int(rng.integers(0, h - th + 1))
+    x = int(rng.integers(0, w - tw + 1))
+    return [a[y : y + th, x : x + tw] for a in arrays]
+
+
+def stereo_train_batches(
+    dataset,
+    net_hw,
+    batch_size: int,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[dict]:
+    """KITTI-2015-style samples → {'left','right','gt_disp','valid'}
+    batches, random-cropped to ``net_hw``, shuffled per epoch."""
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n)
+        buf = {"left": [], "right": [], "gt_disp": [], "valid": []}
+        for idx in order:
+            s = dataset[int(idx)]
+            left, right, gt = _random_crop(
+                rng, [s["left"], s["right"], s["gt_disp"]], net_hw
+            )
+            buf["left"].append(left)
+            buf["right"].append(right)
+            buf["gt_disp"].append(gt)
+            buf["valid"].append(gt > 0)
+            if len(buf["left"]) == batch_size:
+                yield {k: np.stack(v) for k, v in buf.items()}
+                buf = {k: [] for k in buf}
+        epoch += 1
+
+
+def stereo_selfsup_batches(
+    dataset, net_hw, batch_size: int, seed: int = 0, epochs: Optional[int] = None
+) -> Iterator[dict]:
+    """Pairs only (no GT): {'left','right'} batches for selfsup."""
+    for batch in stereo_train_batches(dataset, net_hw, batch_size, seed, epochs):
+        yield {"left": batch["left"], "right": batch["right"]}
+
+
+class TripletDataset:
+    """Temporal triplets [prev, target, next] over a KittiRawDataset
+    (SURVEY C14 temporal self-supervision). Items whose neighbours fall
+    outside the drive are dropped."""
+
+    def __init__(self, base):
+        self.base = base
+        by_drive = {}
+        for i, (folder, frame, side) in enumerate(base.items):
+            by_drive.setdefault((folder, side), {})[frame] = i
+        self.triplets = []
+        for (folder, side), frames in by_drive.items():
+            for frame, idx in frames.items():
+                if frame - 1 in frames and frame + 1 in frames:
+                    self.triplets.append(
+                        (frames[frame - 1], idx, frames[frame + 1])
+                    )
+
+    def __len__(self):
+        return len(self.triplets)
+
+    def __getitem__(self, i):
+        ip, it, inx = self.triplets[i]
+        prev = self.base[ip]
+        tgt = self.base[it]
+        nxt = self.base[inx]
+        out = {
+            "frames": np.stack([prev["image"], tgt["image"], nxt["image"]]),
+            "index": it,
+        }
+        if "intrinsics" in tgt and tgt["intrinsics"]:
+            out["intrinsics"] = tgt["intrinsics"]
+        return out
+
+
+def temporal_train_batches(
+    dataset: TripletDataset,
+    net_hw,
+    batch_size: int,
+    focal_px: float,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[dict]:
+    """Triplets → {'frames' (B,3,h,w,3), 'K' (B,3,3)} batches. Frames are
+    resized (not cropped — intrinsics must stay consistent with K, and a
+    crop would shift the principal point per sample) by the caller's
+    device program; here we center-crop to a multiple of the net aspect
+    and scale K accordingly."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    th, tw = net_hw
+    n = len(dataset)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n)
+        frames_buf, k_buf = [], []
+        for idx in order:
+            s = dataset[int(idx)]
+            f = s["frames"]  # (3, H, W, 3)
+            h, w = f.shape[1:3]
+            resized = np.stack(
+                [
+                    np.asarray(
+                        Image.fromarray(fr).resize((tw, th), Image.BILINEAR)
+                    )
+                    for fr in f
+                ]
+            )
+            fx = s.get("intrinsics", {}).get("focal_px", focal_px) if isinstance(s.get("intrinsics"), dict) else focal_px
+            sx, sy = tw / w, th / h
+            k = np.array(
+                [[fx * sx, 0, tw / 2], [0, fx * sy, th / 2], [0, 0, 1]],
+                np.float32,
+            )
+            frames_buf.append(resized)
+            k_buf.append(k)
+            if len(frames_buf) == batch_size:
+                yield {"frames": np.stack(frames_buf), "K": np.stack(k_buf)}
+                frames_buf, k_buf = [], []
+        epoch += 1

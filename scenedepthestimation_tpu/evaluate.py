@@ -191,7 +191,6 @@ def run_eval(
         )
     if split == "nyu":
         from scenedepthestimation_tpu.data.nyu import NyuDataset
-        from scenedepthestimation_tpu.data import kitti as _k
 
         ds = NyuDataset(root=data_root)
         nyu_eval = dataclasses.replace(cfg.eval, max_depth=10.0)

@@ -4,9 +4,9 @@ The decoder hot loop is ``conv → upsample ×2 → concat skip → conv``.
 XLA already fuses the nearest-neighbour broadcast into neighbouring
 elementwise ops; the jnp implementations here are written as pure
 reshape/broadcast so the compiler sees them as layout changes, not
-gathers. A Pallas fused upsample+concat kernel can be slotted in behind
-``use_pallas`` once profiling shows XLA's fusion leaving bandwidth on the
-table (SURVEY §7.5 order-of-work: correlation kernel first).
+gathers. A fused Pallas upsample+concat kernel exists in
+ops/pallas/upsample_concat.py; measurement kept it off (BASELINE.md
+kernel scorecard — XLA's fusion already wins here).
 
 Layout: NHWC everywhere.
 """

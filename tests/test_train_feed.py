@@ -1,0 +1,89 @@
+"""Training batcher tests (data/train_feed.py)."""
+
+import numpy as np
+import pytest
+
+from scenedepthestimation_tpu.data import train_feed
+
+
+class _FakeStereo:
+    def __init__(self, n=5, hw=(48, 96)):
+        self.n, self.hw = n, hw
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        gt = rng.uniform(0, 20, self.hw).astype(np.float32)
+        return {
+            "left": rng.integers(0, 256, (*self.hw, 3), dtype=np.uint8),
+            "right": rng.integers(0, 256, (*self.hw, 3), dtype=np.uint8),
+            "gt_disp": gt,
+        }
+
+
+def test_stereo_batches_shapes_and_epochs():
+    it = train_feed.stereo_train_batches(
+        _FakeStereo(), (32, 64), batch_size=2, epochs=1
+    )
+    batches = list(it)
+    assert len(batches) == 2  # 5 samples, batch 2, last partial dropped
+    b = batches[0]
+    assert b["left"].shape == (2, 32, 64, 3)
+    assert b["gt_disp"].shape == (2, 32, 64)
+    assert b["valid"].dtype == bool
+
+
+def test_stereo_crop_too_large_raises():
+    it = train_feed.stereo_train_batches(
+        _FakeStereo(hw=(16, 16)), (32, 64), batch_size=1, epochs=1
+    )
+    with pytest.raises(ValueError, match="smaller than crop"):
+        next(it)
+
+
+def test_selfsup_batches_strip_gt():
+    it = train_feed.stereo_selfsup_batches(
+        _FakeStereo(), (32, 64), batch_size=2, epochs=1
+    )
+    b = next(it)
+    assert set(b.keys()) == {"left", "right"}
+
+
+class _FakeRaw:
+    """Mimics KittiRawDataset: .items + __getitem__."""
+
+    def __init__(self):
+        drive = "d/drive1"
+        # frames 0..4 contiguous + an isolated frame in another drive
+        self.items = [(drive, f, "l") for f in range(5)] + [("d/drive2", 7, "l")]
+
+    def __getitem__(self, i):
+        folder, frame, side = self.items[i]
+        rng = np.random.default_rng(frame)
+        return {
+            "image": rng.integers(0, 256, (40, 80, 3), dtype=np.uint8),
+            "intrinsics": {"focal_px": 100.0, "baseline_m": 0.5},
+        }
+
+
+def test_triplet_dataset_drops_boundaries():
+    ds = train_feed.TripletDataset(_FakeRaw())
+    # frames 1, 2, 3 have both neighbours; 0, 4, and the isolated 7 do not
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["frames"].shape == (3, 40, 80, 3)
+
+
+def test_temporal_batches():
+    ds = train_feed.TripletDataset(_FakeRaw())
+    it = train_feed.temporal_train_batches(
+        ds, (32, 64), batch_size=2, focal_px=100.0, epochs=1
+    )
+    b = next(it)
+    assert b["frames"].shape == (2, 3, 32, 64, 3)
+    assert b["K"].shape == (2, 3, 3)
+    # K scaled by resize: fx' = 100 * 64/80 = 80
+    np.testing.assert_allclose(b["K"][0, 0, 0], 80.0)
+    np.testing.assert_allclose(b["K"][0, 1, 1], 100.0 * 32 / 40)
