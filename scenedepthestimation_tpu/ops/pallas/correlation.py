@@ -45,8 +45,68 @@ def _corr_kernel(fl_ref, fr_ref, out_ref, *, max_disp: int, inv_c: float):
         out_ref[:, :, d] = cost_d.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "interpret"))
+# ---------------------------------------------------------------------------
+# SPMD partitioning: a pallas_call lowers to an opaque custom-call, which
+# GSPMD cannot partition — under a batch-sharded jit it would all-gather
+# the inputs and replicate the work on every chip (caught by HLO
+# inspection on the virtual mesh; would silently break config-5 scaling).
+# The op is embarrassingly parallel over B and H (shifts run along W,
+# reduction along C), so declare exactly that via custom_partitioning:
+# keep whatever sharding B/H carry, force W/C replicated, run the kernel
+# per-shard.
+# ---------------------------------------------------------------------------
+
+
+def _bh_only(sharding, ndim=4):
+    """Project a NamedSharding onto dims (B, H): W, C replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = list(sharding.spec) + [None] * (ndim - len(sharding.spec))
+    return NamedSharding(sharding.mesh, P(spec[0], spec[1], None, None))
+
+
+def _corr_infer_sharding(max_disp, interpret, mesh, arg_shapes, result_shape):
+    return _bh_only(arg_shapes[0].sharding)
+
+
+def _corr_partition(max_disp, interpret, mesh, arg_shapes, result_shape):
+    arg_shardings = (_bh_only(arg_shapes[0].sharding),) * 2
+    result_sharding = _bh_only(arg_shapes[0].sharding)
+
+    def lower_fn(fl, fr):
+        return _correlation_pallas_impl(fl, fr, max_disp, interpret)
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+
+
+@functools.partial(custom_partitioning, static_argnums=(2, 3))
 def correlation_pallas(
+    f_left: jnp.ndarray,
+    f_right: jnp.ndarray,
+    max_disp: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    return _correlation_pallas_impl(f_left, f_right, max_disp, interpret)
+
+
+# Shardy (the default partitioner in this JAX) consumes an einsum-like
+# rule instead of the callbacks. B and H are shared factors (shardings
+# propagate — embarrassingly parallel); W/C/D get OPERAND-LOCAL factor
+# names so a W- or C-sharding never propagates into the kernel: Shardy
+# resolves such inputs by gathering just that axis, which is correct
+# (the shift window needs the full W extent per shard).
+correlation_pallas.def_partition(
+    infer_sharding_from_operands=_corr_infer_sharding,
+    partition=_corr_partition,
+    sharding_rule="b h w1 c1, b h w2 c2 -> b h w3 d",
+)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "interpret"))
+def _correlation_pallas_impl(
     f_left: jnp.ndarray,
     f_right: jnp.ndarray,
     max_disp: int,

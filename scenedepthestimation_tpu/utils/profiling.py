@@ -38,12 +38,21 @@ def timed(
 
     ``fn`` must return an array; the mean is accumulated across a
     device-side fori_loop and fetched once as a scalar (a real sync).
+    The first array argument is perturbed by the loop index so XLA's
+    loop-invariant code motion cannot hoist the body out of the loop
+    (floats get ``+ 0.0*i`` — not foldable under IEEE since i could be
+    non-finite; ints get ``+ i``, which changes values but not cost).
     """
 
     @jax.jit
     def loop(n, *a):
         def body(i, acc):
-            return acc + fn(*a).astype(jnp.float32).mean()
+            a0 = a[0]
+            if jnp.issubdtype(a0.dtype, jnp.floating):
+                a0 = a0 + jnp.zeros((), a0.dtype) * i.astype(a0.dtype)
+            else:
+                a0 = a0 + i.astype(a0.dtype)
+            return acc + fn(a0, *a[1:]).astype(jnp.float32).mean()
 
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
 

@@ -103,3 +103,33 @@ def test_uneven_batch_rejected(mesh):
     """Batch not divisible by mesh size must fail loudly, not silently."""
     with pytest.raises(ValueError):
         shard_batch(jnp.zeros((3, 4, 4, 3)), mesh).sharding  # noqa: B018
+
+
+def test_pallas_correlation_partitions_without_collectives(mesh):
+    """A pallas_call is an opaque custom-call GSPMD would all-gather;
+    the custom_partitioning registration must keep batch sharding local
+    (config-5 scaling depends on it)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scenedepthestimation_tpu.ops.correlation import _correlation_jnp
+    from scenedepthestimation_tpu.ops.pallas.correlation import (
+        correlation_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(8, 4, 32, 16)).astype(np.float32)
+    b = rng.normal(size=(8, 4, 32, 16)).astype(np.float32)
+    fl = jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("data")))
+    fr = jax.device_put(jnp.asarray(b), NamedSharding(mesh, P("data")))
+    f = jax.jit(lambda x, y: correlation_pallas(x, y, 8, True))
+    hlo = f.lower(fl, fr).compile().as_text()
+    for op in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert op not in hlo, op
+    out = f(fl, fr)
+    assert out.sharding.spec == P("data")
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(_correlation_jnp(jnp.asarray(a), jnp.asarray(b), 8)),
+        atol=1e-6,
+    )
