@@ -11,7 +11,6 @@ in and depth maps out.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -113,6 +112,10 @@ class Predictor:
     def __init__(self, cfg: RunConfig, variables: Dict[str, Any]):
         self.cfg = cfg
         self.variables = variables
+        # Per-instance program cache (NOT functools.lru_cache on methods:
+        # a class-level cache would pin self — weights included — for the
+        # process lifetime after the caller drops the Predictor).
+        self._programs: Dict[Tuple, Any] = {}
         dtype = _compute_dtype(cfg)
         if cfg.pipeline == "mono":
             self.model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
@@ -123,17 +126,23 @@ class Predictor:
 
     # -- compiled end-to-end programs (cached per input shape) ----------
 
-    @functools.lru_cache(maxsize=8)
     def _mono_program(
         self, in_shape: Tuple[int, ...], in_dtype: str, post_process: bool = False
     ):
-        return jax.jit(
-            build_mono_program(self.cfg, self.model, post_process=post_process)
-        )
+        key = ("mono", in_shape, in_dtype, post_process)
+        if key not in self._programs:
+            self._programs[key] = jax.jit(
+                build_mono_program(self.cfg, self.model, post_process=post_process)
+            )
+        return self._programs[key]
 
-    @functools.lru_cache(maxsize=8)
     def _stereo_program(self, in_shape: Tuple[int, ...], in_dtype: str):
-        return jax.jit(build_stereo_program(self.cfg, self.model))
+        key = ("stereo", in_shape, in_dtype)
+        if key not in self._programs:
+            self._programs[key] = jax.jit(
+                build_stereo_program(self.cfg, self.model)
+            )
+        return self._programs[key]
 
     # -- forward helpers -------------------------------------------------
 

@@ -98,7 +98,18 @@ def cmd_predict_batch(args: argparse.Namespace) -> int:
     stereo = predictor.cfg.pipeline == "stereo"
     with open(args.files) as f:
         entries = [line.split() for line in f if line.strip()]
-    files = [tuple(e[:2]) if stereo else e[0] for e in entries]
+    if stereo:
+        bad = [i for i, e in enumerate(entries) if len(e) < 2]
+        if bad:
+            print(
+                f"error: stereo file list needs 'left right' per line; "
+                f"line {bad[0] + 1} has {len(entries[bad[0]])} path(s)",
+                file=sys.stderr,
+            )
+            return 2
+        files = [tuple(e[:2]) for e in entries]
+    else:
+        files = [e[0] for e in entries]
 
     mesh = None
     if args.devices:

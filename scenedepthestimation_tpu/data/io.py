@@ -147,11 +147,20 @@ def velodyne_to_depth(
 
 
 def kitti_intrinsics(calib_dir: str, cam: int = 2) -> Dict[str, float]:
-    """fx and stereo baseline (m) from a KITTI calib dir (SURVEY C8)."""
+    """Full pinhole intrinsics + stereo baseline from a KITTI calib dir
+    (SURVEY C8): fx/fy/cx/cy of the requested rectified camera and the
+    cam2↔cam3 baseline in meters."""
     cam2cam = read_calib_file(os.path.join(calib_dir, "calib_cam_to_cam.txt"))
+    p_cam = cam2cam[f"P_rect_0{cam}"].reshape(3, 4)
     p2 = cam2cam["P_rect_02"].reshape(3, 4)
     p3 = cam2cam["P_rect_03"].reshape(3, 4)
     fx = float(p2[0, 0])
     # Baseline between rectified cam2/cam3: b = -(tx3 - tx2)/fx.
     baseline = float((p2[0, 3] - p3[0, 3]) / fx)
-    return {"focal_px": fx, "baseline_m": baseline}
+    return {
+        "focal_px": float(p_cam[0, 0]),
+        "fy_px": float(p_cam[1, 1]),
+        "cx_px": float(p_cam[0, 2]),
+        "cy_px": float(p_cam[1, 2]),
+        "baseline_m": baseline,
+    }

@@ -103,11 +103,14 @@ def temporal_train_batches(
     seed: int = 0,
     epochs: Optional[int] = None,
 ) -> Iterator[dict]:
-    """Triplets → {'frames' (B,3,h,w,3), 'K' (B,3,3)} batches. Frames are
-    resized (not cropped — intrinsics must stay consistent with K, and a
-    crop would shift the principal point per sample) by the caller's
-    device program; here we center-crop to a multiple of the net aspect
-    and scale K accordingly."""
+    """Triplets → {'frames' (B,3,h,w,3), 'K' (B,3,3)} batches.
+
+    Frames are full-frame resized to the network resolution and the
+    pinhole intrinsics rescaled PER AXIS (fx,cx by sx; fy,cy by sy) —
+    geometrically exact for a resize, no crop involved. When a sample
+    carries no calibration, KITTI-typical defaults are used
+    (fy=fx=``focal_px``, principal point at the image center).
+    """
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -129,10 +132,14 @@ def temporal_train_batches(
                     for fr in f
                 ]
             )
-            fx = s.get("intrinsics", {}).get("focal_px", focal_px) if isinstance(s.get("intrinsics"), dict) else focal_px
+            intr = s.get("intrinsics") if isinstance(s.get("intrinsics"), dict) else {}
+            fx = intr.get("focal_px", focal_px)
+            fy = intr.get("fy_px", fx)
+            cx = intr.get("cx_px", w / 2.0)
+            cy = intr.get("cy_px", h / 2.0)
             sx, sy = tw / w, th / h
             k = np.array(
-                [[fx * sx, 0, tw / 2], [0, fx * sy, th / 2], [0, 0, 1]],
+                [[fx * sx, 0, cx * sx], [0, fy * sy, cy * sy], [0, 0, 1]],
                 np.float32,
             )
             frames_buf.append(resized)

@@ -10,6 +10,7 @@ batch (SURVEY §5.3).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import Dict, Sequence
@@ -80,20 +81,32 @@ def predict_files(
 
         predictor.variables = replicate_variables(predictor.variables, mesh)
 
-    journal = open(os.path.join(out_dir, _JOURNAL), "a")
     written = 0
     feed = PipelinedFeed(host_batches(), mesh=mesh)
-    for batch in feed:
-        if stereo:
-            out = predictor.stereo_forward(batch["left"], batch["right"])
-        else:
-            out = predictor.mono_forward(batch["images"])
-        depth = np.asarray(out["depth"])
-        for i in range(batch["n_real"]):
-            stem = os.path.splitext(os.path.basename(batch["files"][i]))[0]
-            np.save(os.path.join(out_dir, f"{stem}_depth.npy"), depth[i])
-            written += 1
-        journal.write(json.dumps({"files": batch["files"]}) + "\n")
-        journal.flush()
-    journal.close()
+    with open(os.path.join(out_dir, _JOURNAL), "a") as journal:
+        for batch in feed:
+            if stereo:
+                out = predictor.stereo_forward(batch["left"], batch["right"])
+            else:
+                out = predictor.mono_forward(batch["images"])
+            depth = np.asarray(out["depth"])
+            for i in range(batch["n_real"]):
+                np.save(
+                    os.path.join(out_dir, _output_stem(batch["files"][i]) + "_depth.npy"),
+                    depth[i],
+                )
+                written += 1
+            journal.write(json.dumps({"files": batch["files"]}) + "\n")
+            journal.flush()
     return {"written": written, "skipped": skipped}
+
+
+def _output_stem(path: str) -> str:
+    """Output name for one input: basename stem + a short path hash.
+
+    Basename alone collides across KITTI drives (every drive has a
+    0000000005.png) — the second write would silently clobber the first
+    while the journal marks both done."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    digest = hashlib.md5(path.encode()).hexdigest()[:8]
+    return f"{stem}-{digest}"

@@ -12,10 +12,11 @@ from O(D·HW·C) to O(HW·C + HW·D).
 Implementation notes:
 * Inputs are reshaped to (B*H, W, C) rows; one grid step owns
   ``rows_per_block`` rows (sublane-aligned), the full W extent, all C.
-* The shift loop is a ``fori_loop`` (NOT unrolled): Mosaic keeps every
-  unrolled product live on the VMEM stack — 48 shifts at config-5 shape
-  is a 59 MB scoped allocation vs the 16 MB budget. Serializing keeps
-  one (rows, W, C) product live at a time.
+* The shift loop is a statically UNROLLED Python loop with a per-d
+  store, so each (rows, W, C) product dies as soon as its (rows, W)
+  reduction is written. (A trailing jnp.stack keeps all D products live
+  → 59 MB scoped VMEM OOM at config-5 shape; a fori_loop would need a
+  dynamic lane store, which Mosaic requires to be 128-aligned.)
 * fp32 accumulation regardless of input dtype (bf16-safe, SURVEY §7).
 """
 

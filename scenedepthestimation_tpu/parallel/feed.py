@@ -43,6 +43,7 @@ class PipelinedFeed:
         self._sharding = batch_sharding(mesh) if mesh is not None else None
         self._transfer = transfer or self._default_transfer
         self._error: Optional[BaseException] = None
+        self._stopped = False  # consumer gone: producer must not block
         self._thread = threading.Thread(
             target=self._producer, args=(iter(batches),), daemon=True
         )
@@ -62,20 +63,43 @@ class PipelinedFeed:
             return type(batch)(put(v) for v in batch)
         return put(batch)
 
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when the consumer stopped iterating
+        (otherwise an aborted consumer leaks this thread blocked on a
+        full queue, pinning device batches)."""
+        while not self._stopped:
+            try:
+                self._queue.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _producer(self, it: Iterator) -> None:
         try:
             for batch in it:
-                self._queue.put(self._transfer(batch))
+                if not self._put(self._transfer(batch)):
+                    return
         except BaseException as e:  # surfaced on the consumer side
             self._error = e
         finally:
-            self._queue.put(self._END)
+            self._put(self._END)
 
     def __iter__(self):
-        while True:
-            item = self._queue.get()
-            if item is self._END:
-                if self._error is not None:
-                    raise self._error
-                return
-            yield item
+        try:
+            while True:
+                item = self._queue.get()
+                if item is self._END:
+                    if self._error is not None:
+                        raise self._error
+                    return
+                yield item
+        finally:
+            # Consumer abandoned the loop (break/exception/GC): release
+            # the producer and drop any staged batches.
+            self._stopped = True
+            while not self._queue.empty():
+                try:
+                    self._queue.get_nowait()
+                except queue.Empty:
+                    break

@@ -116,9 +116,12 @@ def make_mono_train_step(cfg: RunConfig, augment: bool = False):
         variables = {"params": params, "batch_stats": batch_stats}
         disps, mutated = _apply_train(variables, x)
         disps = {s: d.astype(jnp.float32) for s, d in disps.items()}
-        loss = losses.mono_supervised_loss(
-            disps, batch["gt_disp"], x.astype(jnp.float32)
-        )
+        # Edge-aware smoothness sees [0,1] color like every other loss
+        # path — the mean/std-normalized tensor has ~4.4x larger
+        # gradients, which would collapse exp(-|∇I|) and silently
+        # disable the prior.
+        img01 = _to01_at(batch["image"], net_hw)
+        loss = losses.mono_supervised_loss(disps, batch["gt_disp"], img01)
         return loss, mutated
 
     def _apply_train(variables, x):
@@ -137,6 +140,16 @@ def make_mono_train_step(cfg: RunConfig, augment: bool = False):
         return state, {"loss": loss}
 
     return train_step
+
+
+def _to01_at(img, net_hw):
+    """uint8/float frames → float32 [0,1] at the network resolution."""
+    from scenedepthestimation_tpu.ops.preprocess import resize_bilinear, to_float
+
+    x = to_float(img)
+    if x.shape[-3:-1] != tuple(net_hw):
+        x = resize_bilinear(x, net_hw)
+    return x
 
 
 def make_stereo_train_step(cfg: RunConfig):
@@ -172,13 +185,8 @@ def make_stereo_selfsup_train_step(cfg: RunConfig):
         model = StereoNet(cfg=cfg.stereo, dtype=dtype)
         disp = model.apply({"params": params}, xl, xr).astype(jnp.float32)
         # Photometric target in [0,1] intensity space.
-        l01 = batch["left"].astype(jnp.float32) / 255.0
-        r01 = batch["right"].astype(jnp.float32) / 255.0
-        if l01.shape[1:3] != net_hw:
-            from scenedepthestimation_tpu.ops.preprocess import resize_bilinear
-
-            l01 = resize_bilinear(l01, net_hw)
-            r01 = resize_bilinear(r01, net_hw)
+        l01 = _to01_at(batch["left"], net_hw)
+        r01 = _to01_at(batch["right"], net_hw)
         return losses.stereo_selfsup_loss(disp, l01, r01)
 
     @jax.jit
@@ -213,8 +221,10 @@ def make_mono_selfsup_train_step(cfg: RunConfig):
             train=True,
             mutable=["batch_stats"],
         )
-        l01 = batch["left"].astype(jnp.float32) / 255.0
-        r01 = batch["right"].astype(jnp.float32) / 255.0
+        # Photometric targets at network resolution in [0,1] (the sibling
+        # stereo-selfsup path handles full-res inputs the same way).
+        l01 = _to01_at(batch["left"], net_hw)
+        r01 = _to01_at(batch["right"], net_hw)
 
         total = 0.0
         for s, d in sorted(disps.items()):
@@ -289,8 +299,11 @@ def make_mono_temporal_train_step(cfg: RunConfig):
     pose_model = PoseNet(dtype=dtype)
 
     def loss_fn(params, batch_stats, batch):
-        frames01 = batch["frames"].astype(jnp.float32) / 255.0  # (B,3,H,W,3)
-        prev, target, nxt = frames01[:, 0], frames01[:, 1], frames01[:, 2]
+        # [0,1] photometric frames at network resolution (K must be
+        # expressed at this resolution — the batcher guarantees it).
+        prev = _to01_at(batch["frames"][:, 0], net_hw)
+        target = _to01_at(batch["frames"][:, 1], net_hw)
+        nxt = _to01_at(batch["frames"][:, 2], net_hw)
         x = preprocess(batch["frames"][:, 1], net_hw, cfg.pre, compute_dtype=dtype)
 
         dvars = {"params": params["depth"], "batch_stats": batch_stats["depth"]}
@@ -302,8 +315,18 @@ def make_mono_temporal_train_step(cfg: RunConfig):
         pose_stats = batch_stats["pose"]
 
         def pose_for(a, b, invert, stats):
+            # PoseNet sees the SAME mean/std normalization as the depth
+            # encoder (the lineage convention; raw [0,1] input would make
+            # reference pose-encoder weight import produce wrong
+            # activations and diverge the two encoders' input stats).
+            from scenedepthestimation_tpu.ops.preprocess import normalize
+
             pair = jnp.concatenate(
-                [a.astype(dtype), b.astype(dtype)], axis=-1
+                [
+                    normalize(a, cfg.pre.mean, cfg.pre.std).astype(dtype),
+                    normalize(b, cfg.pre.mean, cfg.pre.std).astype(dtype),
+                ],
+                axis=-1,
             )
             (aa, tt), mut = pose_model.apply(
                 {"params": params["pose"], "batch_stats": stats},

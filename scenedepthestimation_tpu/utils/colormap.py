@@ -24,7 +24,7 @@ _MAGMA_ANCHORS = np.array(
         (0.986700, 0.678016, 0.484123),
         (0.996096, 0.792167, 0.600336),
         (0.997325, 0.905157, 0.731443),
-        (0.992440, 0.984871, 0.869657),
+        (0.992237, 0.948318, 0.740434),
         (0.987053, 0.991438, 0.749504),
     ],
     dtype=np.float32,
