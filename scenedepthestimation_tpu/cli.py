@@ -138,6 +138,7 @@ def cmd_train(args: argparse.Namespace) -> int:
     default_cfg = {
         "stereo-supervised": "stereo_256x512_b4",
         "stereo-selfsup": "stereo_256x512_b4",
+        "mono-selfsup-stereo": "mono_kitti_192x640_fp32",
         "mono-selfsup-temporal": "mono_kitti_192x640_fp32",
     }[args.mode]
     cfg = configs.get(args.config or default_cfg)
@@ -166,17 +167,30 @@ def cmd_train(args: argparse.Namespace) -> int:
         sf = args.split_file or os.path.join(
             args.data_root, "splits", "eigen", "train_files.txt"
         )
-        base = KittiRawDataset(
-            root=args.data_root, split_file=sf, gt="none"
-        )
-        triplets = train_feed.TripletDataset(base)
-        batches = train_feed.temporal_train_batches(
-            triplets, net_hw, cfg.batch_size, cfg.stereo.focal_px, seed=args.seed
-        )
-        step_fn = train.make_mono_temporal_train_step(cfg)
-        state = train.make_temporal_train_state(
-            cfg, seed=args.seed, learning_rate=args.lr
-        )
+        if args.mode == "mono-selfsup-stereo":
+            base = KittiRawDataset(
+                root=args.data_root, split_file=sf, gt="none", load_pair=True
+            )
+            batches = train_feed.mono_pair_batches(
+                base, net_hw, cfg.batch_size, seed=args.seed
+            )
+            step_fn = train.make_mono_selfsup_train_step(cfg)
+            state = train.make_train_state(
+                cfg, seed=args.seed, learning_rate=args.lr
+            )
+        else:
+            base = KittiRawDataset(
+                root=args.data_root, split_file=sf, gt="none"
+            )
+            triplets = train_feed.TripletDataset(base)
+            batches = train_feed.temporal_train_batches(
+                triplets, net_hw, cfg.batch_size, cfg.stereo.focal_px,
+                seed=args.seed,
+            )
+            step_fn = train.make_mono_temporal_train_step(cfg)
+            state = train.make_temporal_train_state(
+                cfg, seed=args.seed, learning_rate=args.lr
+            )
 
     t0 = time.time()
     for i, batch in enumerate(batches):
@@ -280,6 +294,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "stereo-supervised",
             "stereo-selfsup",
+            "mono-selfsup-stereo",
             "mono-selfsup-temporal",
         ],
     )

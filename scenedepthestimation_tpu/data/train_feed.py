@@ -60,6 +60,40 @@ def stereo_selfsup_batches(
         yield {"left": batch["left"], "right": batch["right"]}
 
 
+def mono_pair_batches(
+    dataset,
+    net_hw,
+    batch_size: int,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[dict]:
+    """KITTI raw pairs (``KittiRawDataset(load_pair=True)``) →
+    {'left','right'} batches for mono 'stereo mode' self-supervision.
+    Left = the split-file camera, right = the opposite rig camera;
+    random-cropped consistently (the rig baseline is unaffected by
+    translation-only crops)."""
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n)
+        left_buf, right_buf = [], []
+        for idx in order:
+            s = dataset[int(idx)]
+            if "pair_image" not in s:
+                raise ValueError("dataset must be built with load_pair=True")
+            lf, rt = (s["image"], s["pair_image"])
+            if s.get("side", "l") == "r":  # keep left camera on the left
+                lf, rt = rt, lf
+            lf, rt = _random_crop(rng, [lf, rt], net_hw)
+            left_buf.append(lf)
+            right_buf.append(rt)
+            if len(left_buf) == batch_size:
+                yield {"left": np.stack(left_buf), "right": np.stack(right_buf)}
+                left_buf, right_buf = [], []
+        epoch += 1
+
+
 class TripletDataset:
     """Temporal triplets [prev, target, next] over a KittiRawDataset
     (SURVEY C14 temporal self-supervision). Items whose neighbours fall

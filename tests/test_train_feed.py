@@ -87,3 +87,44 @@ def test_temporal_batches():
     # K scaled by resize: fx' = 100 * 64/80 = 80
     np.testing.assert_allclose(b["K"][0, 0, 0], 80.0)
     np.testing.assert_allclose(b["K"][0, 1, 1], 100.0 * 32 / 40)
+
+
+class _FakePairRaw:
+    def __init__(self, n=4, hw=(48, 96)):
+        self.n, self.hw = n, hw
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return {
+            "image": rng.integers(0, 256, (*self.hw, 3), dtype=np.uint8),
+            "pair_image": rng.integers(0, 256, (*self.hw, 3), dtype=np.uint8),
+            "side": "l",
+        }
+
+
+def test_mono_pair_batches():
+    it = train_feed.mono_pair_batches(
+        _FakePairRaw(), (32, 64), batch_size=2, epochs=1
+    )
+    batches = list(it)
+    assert len(batches) == 2
+    assert batches[0]["left"].shape == (2, 32, 64, 3)
+    assert set(batches[0].keys()) == {"left", "right"}
+
+
+def test_mono_pair_batches_requires_load_pair():
+    class NoPair:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return {"image": np.zeros((48, 96, 3), np.uint8)}
+
+    it = train_feed.mono_pair_batches(NoPair(), (32, 64), 1, epochs=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="load_pair"):
+        next(it)
