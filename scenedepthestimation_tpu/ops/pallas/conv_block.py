@@ -10,11 +10,11 @@ conv as nine MXU dot_generals with fp32 accumulation, applies bias+ELU,
 and writes the output once.
 
 Halo mechanics: Mosaic manual DMA cannot slice the (lane-tiled) channel
-axis when C < 128, so instead x is passed THREE times with row-block
-index maps (i-1, i, i+1, clamped) — the pipelined windows give the
-kernel the rows above/below, and border blocks substitute the reflected
-row. Costs up to 3x HBM reads of x but removes the pad copy, the
-separate ELU pass, and XLA's layout copies.
+axis when C < 128, so x is passed three times — the TH-row block plus
+two SINGLE-ROW windows whose 1-row block shape makes arbitrary clamped
+row offsets expressible in the index map (i*TH-1 and (i+1)*TH). HBM
+reads are ~(1+2/TH)x the input; border blocks substitute the reflected
+row in-register.
 """
 
 from __future__ import annotations
@@ -28,9 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv_kernel(
-    prev_ref,  # (1, TH, W, Cin) block i-1 (clamped)
+    prev_ref,  # (1, 1, W, Cin) the single row above this block (clamped)
     cur_ref,  # (1, TH, W, Cin) block i
-    next_ref,  # (1, TH, W, Cin) block i+1 (clamped)
+    next_ref,  # (1, 1, W, Cin) the single row below this block (clamped)
     w_ref,  # (9, Cin, Cout)
     b_ref,  # (1, Cout)
     out_ref,  # (1, TH, W, Cout)
@@ -44,16 +44,18 @@ def _conv_kernel(
     cur = cur_ref[0]  # (TH, W, Cin)
 
     # Row halos with reflect at the image borders (row -1 ≡ row 1,
-    # row H ≡ row H-2).
+    # row H ≡ row H-2). Halo rows arrive as single-row windows — HBM
+    # reads are ~(1 + 2/TH)x the input instead of the 3x a full
+    # prev/next-block scheme costs.
     top = jax.lax.cond(
         i == 0,
         lambda: cur[1:2],
-        lambda: prev_ref[0, th - 1 : th],
+        lambda: prev_ref[0],
     )
     bottom = jax.lax.cond(
         i == n_i - 1,
         lambda: cur[th - 2 : th - 1],
-        lambda: next_ref[0, 0:1],
+        lambda: next_ref[0],
     )
     tile = jnp.concatenate([top, cur, bottom], axis=0)  # (TH+2, W, Cin)
     # Reflect columns.
@@ -97,12 +99,13 @@ def _pick_th(height: int, width: int = 0, cin: int = 0, cout: int = 0,
             return True
         lane = lambda c: -(-c // 128) * 128
         per_row = width * (
-            3 * 2 * lane(cin) * esize  # 3 input windows, double-buffered
+            2 * lane(cin) * esize  # TH-row input window, double-buffered
             + 2 * lane(cout) * esize  # output window, double-buffered
             + lane(cout) * 4  # fp32 accumulator
             + 2 * lane(cin) * esize  # padded tile temporary
         )
-        return th * per_row <= 12 * 1024 * 1024
+        halo = 4 * width * lane(cin) * esize  # 2 single-row windows, dbuf
+        return th * per_row + halo <= 12 * 1024 * 1024
 
     for th in (16, 8, 4, 2):
         if height % th == 0 and height // th >= 2 and fits(th):
@@ -182,15 +185,18 @@ def conv3x3_elu_pallas(
         ),
         grid=(b, n_blocks),
         in_specs=[
+            # Single-row halo windows: with a 1-row block shape the index
+            # map addresses ROWS, so arbitrary (clamped) row offsets are
+            # expressible — unlike TH-row blocks, which only tile.
             pl.BlockSpec(
-                (1, th, w, cin),
-                lambda bi, i: block(bi, jnp.maximum(i - 1, 0)),
+                (1, 1, w, cin),
+                lambda bi, i: (bi, jnp.maximum(i * th - 1, 0), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, th, w, cin), block, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, th, w, cin),
-                lambda bi, i: block(bi, jnp.minimum(i + 1, n_blocks - 1)),
+                (1, 1, w, cin),
+                lambda bi, i: (bi, jnp.minimum((i + 1) * th, h - 1), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -202,7 +208,7 @@ def conv3x3_elu_pallas(
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * 9 * cin * cout,
-            bytes_accessed=(b * h * w * (3 * cin + cout)) * x.dtype.itemsize,
+            bytes_accessed=(b * h * w * (cin + cout)) * x.dtype.itemsize,
             transcendentals=b * h * w * cout,
         ),
         interpret=interpret,
