@@ -88,8 +88,11 @@ def correlation_pallas(
     f_left: jnp.ndarray,
     f_right: jnp.ndarray,
     max_disp: int,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
+    """interpret=None → auto: compiled on TPU, interpreter elsewhere (so
+    the kernel path — including its SPMD partitioning — is exercisable on
+    the CPU test mesh)."""
     return _correlation_pallas_impl(f_left, f_right, max_disp, interpret)
 
 
@@ -111,9 +114,11 @@ def _correlation_pallas_impl(
     f_left: jnp.ndarray,
     f_right: jnp.ndarray,
     max_disp: int,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """(B, H, W, C) x2 → (B, H, W, D) cost volume, D = max_disp."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, h, w, c = f_left.shape
     d = max_disp
     bh = b * h

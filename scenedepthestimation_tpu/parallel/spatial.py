@@ -61,3 +61,35 @@ def mono_forward_spatial(
         ),
     )
     return sharded(variables, shard_spatial(img, mesh))
+
+
+def stereo_forward_spatial(
+    cfg: RunConfig, model, variables, left: jnp.ndarray, right: jnp.ndarray,
+    mesh: Mesh,
+) -> Dict[str, jnp.ndarray]:
+    """End-to-end stereo program with both frames sharded along H.
+
+    Works because every op in the stereo stack is row-parallel along H:
+    convs/pools get GSPMD halo exchanges, and the Pallas correlation op's
+    custom_partitioning declares H a shared (local) factor — its shifts
+    run along W, which stays intact per shard.
+    """
+    from scenedepthestimation_tpu.api import build_stereo_program
+
+    n = mesh.devices.size
+    if left.shape[1] % (n * 32) != 0:
+        raise ValueError(
+            f"H={left.shape[1]} must be divisible by mesh*stride = {n * 32}"
+        )
+    program = build_stereo_program(cfg, model)
+    sharded = jax.jit(
+        program,
+        in_shardings=(
+            NamedSharding(mesh, P()),
+            spatial_sharding(mesh),
+            spatial_sharding(mesh),
+        ),
+    )
+    return sharded(
+        variables, shard_spatial(left, mesh), shard_spatial(right, mesh)
+    )

@@ -218,3 +218,32 @@ def test_kitti_load_pair(tmp_path):
     s = ds[0]
     assert s["pair_image"].shape == (32, 96, 3)
     assert s["intrinsics"]["focal_px"] == pytest.approx(100.0)
+
+
+def test_kitti_improved_gt(tmp_path):
+    root, split = _make_kitti_raw(tmp_path, n=1)
+    drive = "2011_09_26_drive_0002_sync"
+    rng = np.random.default_rng(11)
+    gt = rng.uniform(1, 60, (32, 96)).astype(np.float32)
+    _write_png16(
+        str(
+            tmp_path
+            / "gt"
+            / drive
+            / "proj_depth"
+            / "groundtruth"
+            / "image_02"
+            / f"{0:010d}.png"
+        ),
+        gt,
+    )
+    from scenedepthestimation_tpu.data.kitti import KittiRawDataset
+
+    ds = KittiRawDataset(
+        root=str(root),
+        split_file=str(split),
+        gt="improved",
+        gt_root=str(tmp_path / "gt"),
+    )
+    s = ds[0]
+    np.testing.assert_allclose(s["gt_depth"], gt, atol=1 / 256.0)

@@ -61,3 +61,35 @@ def test_spatial_rejects_indivisible_height(mesh):
     img = jnp.zeros((1, 96, 64, 3), jnp.uint8)
     with pytest.raises(ValueError, match="divisible"):
         mono_forward_spatial(TINY, predictor.model, predictor.variables, img, mesh)
+
+
+def test_stereo_spatial_matches_unsharded(mesh):
+    """H-sharded stereo forward — exercises GSPMD conv halos AND the
+    Pallas correlation custom_partitioning under spatial sharding."""
+    from scenedepthestimation_tpu.configs import StereoConfig
+    from scenedepthestimation_tpu.parallel.spatial import stereo_forward_spatial
+    import scenedepthestimation_tpu.ops.correlation as corr
+
+    cfg = RunConfig(
+        name="tiny_spatial_stereo", pipeline="stereo",
+        stereo=StereoConfig(height=256, width=64, max_disp=16, feat_channels=16),
+    )
+    predictor = load_weights(None, cfg, seed=0)
+    rng = np.random.default_rng(1)
+    left = jnp.asarray(rng.integers(0, 256, (1, 256, 64, 3), dtype=np.uint8))
+    right = jnp.asarray(rng.integers(0, 256, (1, 256, 64, 3), dtype=np.uint8))
+
+    want = predictor.stereo_forward(left, right)
+    # Force the pallas path (auto-interprets on the CPU mesh) so the
+    # custom_partitioning is what's under test, not the jnp fallback.
+    orig = corr._USE_PALLAS
+    corr.set_use_pallas(True)
+    try:
+        got = stereo_forward_spatial(
+            cfg, predictor.model, predictor.variables, left, right, mesh
+        )
+    finally:
+        corr.set_use_pallas(orig)
+    np.testing.assert_allclose(
+        np.asarray(got["disp"]), np.asarray(want["disp"]), rtol=2e-4, atol=2e-4
+    )
