@@ -377,14 +377,26 @@ class Trainer:
     save_path: Optional[str] = None
 
     def fit(
-        self, batches: Iterable, num_steps: int, seed: int = 0
+        self,
+        batches: Iterable,
+        num_steps: int,
+        seed: int = 0,
+        state: Optional[TrainState] = None,
+        step_fn: Optional[Callable] = None,
     ) -> TrainState:
-        state = make_train_state(self.cfg, seed=seed, learning_rate=self.learning_rate)
-        step_fn = (
-            make_mono_train_step(self.cfg)
-            if self.cfg.pipeline == "mono"
-            else make_stereo_train_step(self.cfg)
-        )
+        """Run the loop. By default builds the supervised step for the
+        config's pipeline; pass ``step_fn`` (any make_*_train_step
+        product) and/or a resumed ``state`` to train other modes."""
+        if state is None:
+            state = make_train_state(
+                self.cfg, seed=seed, learning_rate=self.learning_rate
+            )
+        if step_fn is None:
+            step_fn = (
+                make_mono_train_step(self.cfg)
+                if self.cfg.pipeline == "mono"
+                else make_stereo_train_step(self.cfg)
+            )
         t0 = time.time()
         for i, batch in enumerate(batches):
             if i >= num_steps:
