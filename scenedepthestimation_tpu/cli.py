@@ -225,6 +225,21 @@ def _save_train_state(state, path: str) -> None:
     checkpoint.save_variables(path, variables)
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    from scenedepthestimation_tpu import api
+    from scenedepthestimation_tpu.export import export_predictor
+
+    predictor = api.load_weights(args.weights, args.config, seed=args.seed)
+    artifact = export_predictor(
+        predictor,
+        args.out,
+        batch_size=args.batch_size,
+        input_hw=tuple(args.input_hw) if args.input_hw else None,
+    )
+    print(json.dumps({"artifact": artifact, "out": args.out}))
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import benchmark
 
@@ -309,6 +324,20 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--log-every", type=int, default=50)
     pt.add_argument("--seed", type=int, default=0)
     pt.set_defaults(fn=cmd_train)
+
+    px = sub.add_parser(
+        "export", help="serialize a serving artifact (StableHLO, weights baked)"
+    )
+    px.add_argument("--config", default="mono_kitti_192x640_fp32")
+    px.add_argument("--weights", default=None)
+    px.add_argument("--out", required=True, help="artifact directory")
+    px.add_argument("--batch-size", type=int, default=1)
+    px.add_argument(
+        "--input-hw", nargs=2, type=int, default=None, metavar=("H", "W"),
+        help="bake a source resolution (default: network resolution)",
+    )
+    px.add_argument("--seed", type=int, default=0)
+    px.set_defaults(fn=cmd_export)
     return p
 
 
