@@ -225,6 +225,11 @@ def predict_stereo(predictor: Predictor, left, right) -> Dict[str, np.ndarray]:
     """Disparity + depth from a rectified stereo pair (or batch)."""
     l, squeeze = _ensure_batched(left)
     r, _ = _ensure_batched(right)
+    if l.shape != r.shape:
+        raise ValueError(
+            f"left/right shapes must match: {l.shape} vs {r.shape} "
+            f"(rectified pairs share a resolution)"
+        )
     out = predictor.stereo_forward(l, r)
     out = {k: np.asarray(v) for k, v in out.items()}
     if squeeze:
