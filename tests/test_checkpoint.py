@@ -71,3 +71,25 @@ def test_trainer_save_loadable(tmp_path):
     img = np.zeros((64, 128, 3), np.uint8)
     out = predict_mono(p, img)
     assert out["depth"].shape == (64, 128)
+
+
+def test_single_torch_file_through_api(tmp_path):
+    """Combined full-model .pth (encoder.* + decoder.* prefixes) loaded
+    through the file path of load_weights."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
+    import torch
+    import torch_ref
+
+    torch.manual_seed(2)
+    tmodel = torch_ref.MonoDepthNet().eval()
+    path = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), path)
+
+    predictor = load_weights(path, TINY)
+    x = np.random.default_rng(3).normal(size=(1, 64, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))[0].numpy()
+    got = np.asarray(predictor.model.apply(predictor.variables, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=2e-6)
