@@ -112,10 +112,14 @@ class Predictor:
     def __init__(self, cfg: RunConfig, variables: Dict[str, Any]):
         self.cfg = cfg
         self.variables = variables
-        # Per-instance program cache (NOT functools.lru_cache on methods:
-        # a class-level cache would pin self — weights included — for the
-        # process lifetime after the caller drops the Predictor).
-        self._programs: Dict[Tuple, Any] = {}
+        # Per-instance BOUNDED program cache (NOT functools.lru_cache on
+        # methods: a class-level cache would pin self — weights included —
+        # for the process lifetime after the caller drops the Predictor;
+        # unbounded, a many-shapes server would accumulate executables).
+        import collections
+
+        self._programs: Any = collections.OrderedDict()
+        self._programs_max = 8
         dtype = _compute_dtype(cfg)
         if cfg.pipeline == "mono":
             self.model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
@@ -126,23 +130,30 @@ class Predictor:
 
     # -- compiled end-to-end programs (cached per input shape) ----------
 
+    def _cached(self, key, build):
+        if key in self._programs:
+            self._programs.move_to_end(key)
+        else:
+            self._programs[key] = jax.jit(build())
+            if len(self._programs) > self._programs_max:
+                self._programs.popitem(last=False)  # evict LRU
+        return self._programs[key]
+
     def _mono_program(
         self, in_shape: Tuple[int, ...], in_dtype: str, post_process: bool = False
     ):
-        key = ("mono", in_shape, in_dtype, post_process)
-        if key not in self._programs:
-            self._programs[key] = jax.jit(
-                build_mono_program(self.cfg, self.model, post_process=post_process)
-            )
-        return self._programs[key]
+        return self._cached(
+            ("mono", in_shape, in_dtype, post_process),
+            lambda: build_mono_program(
+                self.cfg, self.model, post_process=post_process
+            ),
+        )
 
     def _stereo_program(self, in_shape: Tuple[int, ...], in_dtype: str):
-        key = ("stereo", in_shape, in_dtype)
-        if key not in self._programs:
-            self._programs[key] = jax.jit(
-                build_stereo_program(self.cfg, self.model)
-            )
-        return self._programs[key]
+        return self._cached(
+            ("stereo", in_shape, in_dtype),
+            lambda: build_stereo_program(self.cfg, self.model),
+        )
 
     # -- forward helpers -------------------------------------------------
 

@@ -41,7 +41,7 @@ def _dump_depth(depth, disp, out_prefix: str) -> None:
 def cmd_predict(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import api
 
-    predictor = api.load_weights(args.weights, args.config, seed=args.seed)
+    predictor = api.load_weights(args.weights, _resolve_config(args.config), seed=args.seed)
     if predictor.cfg.pipeline == "stereo":
         if not (args.left and args.right):
             print("stereo config needs --left and --right", file=sys.stderr)
@@ -79,7 +79,7 @@ def cmd_eval(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import evaluate
 
     metrics = evaluate.run_eval(
-        config=args.config,
+        config=_resolve_config(args.config),
         weights=args.weights,
         data_root=args.data_root,
         split=args.split,
@@ -94,7 +94,7 @@ def cmd_predict_batch(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import api
     from scenedepthestimation_tpu.infer import predict_files
 
-    predictor = api.load_weights(args.weights, args.config, seed=args.seed)
+    predictor = api.load_weights(args.weights, _resolve_config(args.config), seed=args.seed)
     stereo = predictor.cfg.pipeline == "stereo"
     with open(args.files) as f:
         entries = [line.split() for line in f if line.strip()]
@@ -141,7 +141,7 @@ def cmd_train(args: argparse.Namespace) -> int:
         "mono-selfsup-stereo": "mono_kitti_192x640_fp32",
         "mono-selfsup-temporal": "mono_kitti_192x640_fp32",
     }[args.mode]
-    cfg = configs.get(args.config or default_cfg)
+    cfg = _resolve_config(args.config or default_cfg)
     if args.batch_size:
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
     net_hw = (cfg.height, cfg.width)
@@ -180,7 +180,8 @@ def cmd_train(args: argparse.Namespace) -> int:
             )
         else:
             base = KittiRawDataset(
-                root=args.data_root, split_file=sf, gt="none"
+                root=args.data_root, split_file=sf, gt="none",
+                load_intrinsics=True,  # real calib → correct reprojection K
             )
             triplets = train_feed.TripletDataset(base)
             batches = train_feed.temporal_train_batches(
@@ -217,11 +218,25 @@ def cmd_train(args: argparse.Namespace) -> int:
 
 
 def _save_train_state(state, path: str) -> None:
+    """Save a checkpoint loadable by predict/eval --weights.
+
+    Joint depth+pose states (temporal mode) nest params as
+    {'depth','pose'} — a layout the inference Predictor cannot consume —
+    so the depth sub-tree is saved at ``path`` (the predict-compatible
+    artifact) and the pose network alongside at ``path_pose``."""
     from scenedepthestimation_tpu.utils import checkpoint
 
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
+    params, stats = state.params, state.batch_stats
+    if isinstance(params, dict) and set(params) == {"depth", "pose"}:
+        pose_vars = {"params": params["pose"]}
+        if stats and stats.get("pose"):
+            pose_vars["batch_stats"] = stats["pose"]
+        checkpoint.save_variables(path + "_pose", pose_vars)
+        params = params["depth"]
+        stats = stats.get("depth", {}) if stats else {}
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
     checkpoint.save_variables(path, variables)
 
 
@@ -229,7 +244,7 @@ def cmd_export(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import api
     from scenedepthestimation_tpu.export import export_predictor
 
-    predictor = api.load_weights(args.weights, args.config, seed=args.seed)
+    predictor = api.load_weights(args.weights, _resolve_config(args.config), seed=args.seed)
     artifact = export_predictor(
         predictor,
         args.out,
@@ -244,7 +259,7 @@ def cmd_bench(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import benchmark
 
     result = benchmark.run_bench(
-        config=args.config, batch_size=args.batch_size, iters=args.iters
+        config=_resolve_config(args.config), batch_size=args.batch_size, iters=args.iters
     )
     print(json.dumps(result))
     return 0
@@ -341,16 +356,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+class CliError(Exception):
+    """User-facing CLI error (bad preset, bad paths) — message, no trace."""
+
+
+def _resolve_config(name_or_cfg):
+    from scenedepthestimation_tpu import configs
+
+    if not isinstance(name_or_cfg, str):
+        return name_or_cfg
+    try:
+        return configs.get(name_or_cfg)
+    except KeyError as e:
+        raise CliError(str(e.args[0])) from None
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)
-    except KeyError as e:
-        # Unknown preset names raise KeyError from configs.get; show the
-        # message, not a traceback.
-        print(f"error: {e.args[0]}", file=sys.stderr)
-        return 2
-    except FileNotFoundError as e:
+    except (CliError, FileNotFoundError) as e:
+        # Only deliberately user-facing errors are flattened; anything
+        # else (including deep KeyErrors) keeps its traceback.
         print(f"error: {e}", file=sys.stderr)
         return 2
 

@@ -51,6 +51,7 @@ class KittiRawDataset:
     gt: str = "velodyne"  # "velodyne" | "improved" | "none"
     gt_root: Optional[str] = None  # for improved GT (defaults to root)
     load_pair: bool = False
+    load_intrinsics: bool = False  # rig calib without the pair image
 
     def __post_init__(self):
         self.items = read_split_file(self.split_file)
@@ -80,6 +81,7 @@ class KittiRawDataset:
                 self.root, folder, _SIDE_DIR[other], "data", f"{frame:010d}.png"
             )
             sample["pair_image"] = io.load_image(pair_path)
+        if self.load_pair or self.load_intrinsics:
             date = folder.split("/")[0]
             try:
                 sample["intrinsics"] = io.kitti_intrinsics(

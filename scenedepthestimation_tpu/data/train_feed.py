@@ -22,6 +22,17 @@ def _random_crop(rng, arrays, out_hw):
     return [a[y : y + th, x : x + tw] for a in arrays]
 
 
+def _check_enough(n: int, batch_size: int) -> None:
+    """Every batcher drops partial batches, so a dataset smaller than one
+    batch would make the epochs=None loop spin forever yielding nothing
+    (an empty split file / wrong --data-root must fail loudly)."""
+    if n < batch_size:
+        raise ValueError(
+            f"dataset has {n} usable sample(s) but batch_size={batch_size}; "
+            f"nothing would ever be yielded"
+        )
+
+
 def stereo_train_batches(
     dataset,
     net_hw,
@@ -33,6 +44,7 @@ def stereo_train_batches(
     batches, random-cropped to ``net_hw``, shuffled per epoch."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
+    _check_enough(n, batch_size)
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(n)
@@ -55,9 +67,24 @@ def stereo_train_batches(
 def stereo_selfsup_batches(
     dataset, net_hw, batch_size: int, seed: int = 0, epochs: Optional[int] = None
 ) -> Iterator[dict]:
-    """Pairs only (no GT): {'left','right'} batches for selfsup."""
-    for batch in stereo_train_batches(dataset, net_hw, batch_size, seed, epochs):
-        yield {"left": batch["left"], "right": batch["right"]}
+    """Pairs only, truly no GT required: {'left','right'} batches —
+    works on unlabeled rectified pairs (e.g. KITTI-2015 split='testing')."""
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    _check_enough(n, batch_size)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n)
+        left_buf, right_buf = [], []
+        for idx in order:
+            s = dataset[int(idx)]
+            left, right = _random_crop(rng, [s["left"], s["right"]], net_hw)
+            left_buf.append(left)
+            right_buf.append(right)
+            if len(left_buf) == batch_size:
+                yield {"left": np.stack(left_buf), "right": np.stack(right_buf)}
+                left_buf, right_buf = [], []
+        epoch += 1
 
 
 def mono_pair_batches(
@@ -74,6 +101,7 @@ def mono_pair_batches(
     translation-only crops)."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
+    _check_enough(n, batch_size)
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(n)
@@ -150,6 +178,7 @@ def temporal_train_batches(
     rng = np.random.default_rng(seed)
     th, tw = net_hw
     n = len(dataset)
+    _check_enough(n, batch_size)
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(n)

@@ -93,3 +93,20 @@ def test_single_torch_file_through_api(tmp_path):
         want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))[0].numpy()
     got = np.asarray(predictor.model.apply(predictor.variables, jnp.asarray(x))[0])
     np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=2e-6)
+
+
+def test_temporal_checkpoint_loadable_by_predict(tmp_path):
+    """Temporal train saves must be predict-compatible (depth-only at
+    path, pose alongside) — the joint {'depth','pose'} layout is not."""
+    from scenedepthestimation_tpu import train
+    from scenedepthestimation_tpu.cli import _save_train_state
+
+    state = train.make_temporal_train_state(TINY, seed=0)
+    path = str(tmp_path / "tck")
+    _save_train_state(state, path)
+    p = load_weights(path, TINY)
+    out = predict_mono(p, np.zeros((64, 128, 3), np.uint8))
+    assert out["depth"].shape == (64, 128)
+    import os
+
+    assert os.path.isdir(path + "_pose")

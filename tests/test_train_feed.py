@@ -128,3 +128,24 @@ def test_mono_pair_batches_requires_load_pair():
 
     with _pytest.raises(ValueError, match="load_pair"):
         next(it)
+
+
+def test_batcher_rejects_too_small_dataset():
+    with pytest.raises(ValueError, match="nothing would ever be yielded"):
+        next(train_feed.stereo_train_batches(_FakeStereo(n=1), (32, 64), 4))
+
+
+def test_selfsup_batches_work_without_gt():
+    class PairsOnly:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return {
+                "left": rng.integers(0, 256, (48, 96, 3), dtype=np.uint8),
+                "right": rng.integers(0, 256, (48, 96, 3), dtype=np.uint8),
+            }
+
+    b = next(train_feed.stereo_selfsup_batches(PairsOnly(), (32, 64), 2, epochs=1))
+    assert set(b.keys()) == {"left", "right"}
