@@ -47,13 +47,42 @@ def build_mono_program(
     """
     net_hw = (cfg.mono.height, cfg.mono.width)
     dtype = _compute_dtype(cfg)
+    # Packed finest-levels execution (ops/packed.py): exact rewrite, only
+    # valid for nearest upsample + even feature grids + scale-0 output.
+    use_packed = (
+        cfg.mono.packed_decoder
+        and cfg.mono.upsample_mode == "nearest"
+        and cfg.mono.height % 4 == 0
+        and cfg.mono.width % 4 == 0
+        and 0 in cfg.mono.scales
+    )
+
+    def forward_disp0(variables, x):
+        if not use_packed:
+            return model.apply(variables, x)[0]
+        from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+        from scenedepthestimation_tpu.ops.packed import packed_mono_decoder
+
+        feats = ResNetEncoder(num_layers=cfg.mono.num_layers, dtype=dtype).apply(
+            {
+                "params": variables["params"]["encoder"],
+                "batch_stats": variables["batch_stats"]["encoder"],
+            },
+            x,
+        )
+        return packed_mono_decoder(
+            variables["params"]["decoder"],
+            feats,
+            dec_channels=cfg.mono.dec_channels,
+            upsample_mode=cfg.mono.upsample_mode,
+            dtype=dtype,
+        )
 
     def program(variables, img):
         x = preprocess(img, net_hw, cfg.pre, compute_dtype=dtype)
         if post_process:
             x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
-        disps = model.apply(variables, x)
-        disp0 = disps[0].astype(jnp.float32)  # (B', h, w, 1)
+        disp0 = forward_disp0(variables, x).astype(jnp.float32)  # (B', h, w, 1)
         if post_process:
             b = img.shape[0]
             disp0 = _blend_flipped(disp0[:b], disp0[b:, :, ::-1, :])

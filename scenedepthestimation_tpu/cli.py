@@ -83,6 +83,7 @@ def cmd_eval(args: argparse.Namespace) -> int:
         weights=args.weights,
         data_root=args.data_root,
         split=args.split,
+        split_file=args.split_file,
         max_items=args.max_items,
         seed=args.seed,
     )
@@ -144,6 +145,15 @@ def cmd_train(args: argparse.Namespace) -> int:
     cfg = _resolve_config(args.config or default_cfg)
     if args.batch_size:
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    stereo_overrides = {}
+    if getattr(args, "refine", False):
+        stereo_overrides["refine"] = True
+    if getattr(args, "softargmin_temperature", None) is not None:
+        stereo_overrides["softargmin_temperature"] = args.softargmin_temperature
+    if stereo_overrides:
+        cfg = dataclasses.replace(
+            cfg, stereo=dataclasses.replace(cfg.stereo, **stereo_overrides)
+        )
     net_hw = (cfg.height, cfg.width)
 
     if args.mode.startswith("stereo"):
@@ -160,7 +170,12 @@ def cmd_train(args: argparse.Namespace) -> int:
                 ds, net_hw, cfg.batch_size, seed=args.seed
             )
             step_fn = train.make_stereo_selfsup_train_step(cfg)
-        state = train.make_train_state(cfg, seed=args.seed, learning_rate=args.lr)
+        state = train.make_train_state(
+            cfg,
+            seed=args.seed,
+            learning_rate=args.lr,
+            warmup_steps=args.warmup_steps,
+        )
     else:
         from scenedepthestimation_tpu.data.kitti import KittiRawDataset
 
@@ -176,7 +191,10 @@ def cmd_train(args: argparse.Namespace) -> int:
             )
             step_fn = train.make_mono_selfsup_train_step(cfg)
             state = train.make_train_state(
-                cfg, seed=args.seed, learning_rate=args.lr
+                cfg,
+                seed=args.seed,
+                learning_rate=args.lr,
+                warmup_steps=args.warmup_steps,
             )
         else:
             base = KittiRawDataset(
@@ -190,7 +208,10 @@ def cmd_train(args: argparse.Namespace) -> int:
             )
             step_fn = train.make_mono_temporal_train_step(cfg)
             state = train.make_temporal_train_state(
-                cfg, seed=args.seed, learning_rate=args.lr
+                cfg,
+                seed=args.seed,
+                learning_rate=args.lr,
+                warmup_steps=args.warmup_steps,
             )
 
     t0 = time.time()
@@ -258,6 +279,10 @@ def cmd_export(args: argparse.Namespace) -> int:
 def cmd_bench(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import benchmark
 
+    if getattr(args, "latency", False):
+        for row in benchmark.run_latency_bench():
+            print(json.dumps(row))
+        return 0
     result = benchmark.run_bench(
         config=_resolve_config(args.config), batch_size=args.batch_size, iters=args.iters
     )
@@ -289,6 +314,11 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--weights", default=None)
     pe.add_argument("--data-root", required=True)
     pe.add_argument("--split", default="eigen")
+    pe.add_argument(
+        "--split-file",
+        default=None,
+        help="custom split file (e.g. eigen_benchmark for improved GT)",
+    )
     pe.add_argument("--max-items", type=int, default=None)
     pe.add_argument("--seed", type=int, default=0)
     pe.set_defaults(fn=cmd_eval)
@@ -297,6 +327,11 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--config", default="mono_kitti_384x1152_bench")
     pb.add_argument("--batch-size", type=int, default=None)
     pb.add_argument("--iters", type=int, default=32)
+    pb.add_argument(
+        "--latency",
+        action="store_true",
+        help="b=1 serving latency sweep + export artifact round trip",
+    )
     pb.set_defaults(fn=cmd_bench)
 
     pf = sub.add_parser(
@@ -334,6 +369,23 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--steps", type=int, default=1000)
     pt.add_argument("--batch-size", type=int, default=None)
     pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument(
+        "--warmup-steps",
+        type=int,
+        default=0,
+        help="linear LR warmup steps (mitigates the high-LR soft-argmin collapse)",
+    )
+    pt.add_argument(
+        "--refine",
+        action="store_true",
+        help="stereo: residual refinement + intermediate-scale supervision",
+    )
+    pt.add_argument(
+        "--softargmin-temperature",
+        type=float,
+        default=None,
+        help="stereo soft-argmin temperature (<1 sharpens the readout)",
+    )
     pt.add_argument("--save", default=None, help="orbax checkpoint dir")
     pt.add_argument("--save-every", type=int, default=1000)
     pt.add_argument("--log-every", type=int, default=50)

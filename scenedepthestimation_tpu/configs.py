@@ -35,6 +35,15 @@ class MonoConfig:
     # Upsample mode inside the decoder ("nearest" is the monodepth2
     # convention). UNVERIFIED vs reference.
     upsample_mode: str = "nearest"
+    # Execute the two finest decoder levels in a space-to-depth packed
+    # layout (ops/packed.py) — an exact execution rewrite that fills the
+    # 128 TPU lanes the C=16/32 levels otherwise waste. Inference
+    # programs only; requires nearest upsample and H, W % 4 == 0
+    # (api.build_mono_program falls back automatically otherwise).
+    # Default OFF by measurement: first-cut packed program benched 950
+    # fps vs 1123 standard at the judged config (bench/profile_packed.py
+    # isolates why; see BASELINE.md round-2 notes).
+    packed_decoder: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +65,14 @@ class StereoConfig:
     # KITTI 2015 values (P2 cam). UNVERIFIED vs reference.
     focal_px: float = 721.5377
     baseline_m: float = 0.54
+    # FADNet-style residual refinement + intermediate-scale cost heads
+    # (models/stereo.Refinement). Opt-in: adds params, so the default
+    # preserves reference checkpoint-parity. VERDICT r1 next-#3.
+    refine: bool = False
+    # Soft-argmin temperature (softmax over -cost/τ); τ < 1 sharpens the
+    # readout — a mitigation for the high-LR uniform-softmax collapse
+    # (BASELINE.md round-1 training note). 1.0 = GC-Net convention.
+    softargmin_temperature: float = 1.0
 
     @property
     def corr_disp(self) -> int:
@@ -179,6 +196,20 @@ STEREO_KITTI2015_B16_BF16_V5E8 = RunConfig(
 # (BASELINE.json:2) — monocular flagship shape. b128 measured fastest on
 # v5e-1 (262 fps @ b8 → 1113 fps @ b128; decoder's small-channel convs
 # are data-movement-bound, batch amortizes them — BASELINE.md log).
+# Opt-in high-throughput stereo variant (VERDICT r1 next-#4): the C=64
+# feature tower fills only half of the 128 VPU lanes in the correlation
+# kernel (BASELINE.md correlation tuning note); C=128 fills them. This is
+# an ARCHITECTURE change (more params — not reference-checkpoint
+# compatible), hence a separate preset, never a default.
+STEREO_KITTI2015_B16_BF16_V5E8_C128 = RunConfig(
+    name="stereo_kitti2015_b16_bf16_v5e8_c128",
+    pipeline="stereo",
+    batch_size=16,
+    dtype="bfloat16",
+    num_devices=8,
+    stereo=StereoConfig(height=384, width=1152, feat_channels=128),
+)
+
 MONO_KITTI_384x1152_BENCH = RunConfig(
     name="mono_kitti_384x1152_bench",
     pipeline="mono",
@@ -195,6 +226,7 @@ PRESETS = {
         MONO_EIGEN_EVAL,
         STEREO_256x512_B4,
         STEREO_KITTI2015_B16_BF16_V5E8,
+        STEREO_KITTI2015_B16_BF16_V5E8_C128,
         MONO_KITTI_384x1152_BENCH,
     )
 }

@@ -132,8 +132,11 @@ def velodyne_to_depth(
 
     pix = (proj @ velo.T).T  # (N, 3)
     depth = pix[:, 2]
-    u = np.round(pix[:, 0] / depth).astype(np.int64)
-    v = np.round(pix[:, 1] / depth).astype(np.int64)
+    # The KITTI MATLAB devkit (and the Eigen-protocol generate_depth_map
+    # implementations that follow it) index pixels 1-based; matching the
+    # standard placement requires round(...) - 1 (ADVICE r1, medium).
+    u = np.round(pix[:, 0] / depth).astype(np.int64) - 1
+    v = np.round(pix[:, 1] / depth).astype(np.int64) - 1
 
     h, w = image_hw
     ok = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (depth > 0)

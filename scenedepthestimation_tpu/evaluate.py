@@ -62,7 +62,9 @@ def _nyu_metric_fn(hw, cfg: EvalConfig):
             )
             pred = pred * ratio
         pred = jnp.clip(pred, cfg.min_depth, cfg.max_depth)
-        return M.depth_errors(gt_depth, pred, mask)
+        out = M.depth_errors(gt_depth, pred, mask)
+        out["n_valid"] = jnp.sum(mask).astype(jnp.int32)
+        return out
 
     return fn
 
@@ -92,6 +94,7 @@ def eval_mono_dataset(
 
     sums = {k: 0.0 for k in _MONO_METRICS}
     count = 0
+    skipped = 0
     for batch in batched(dataset, batch_size):
         out = predictor.mono_forward(jnp.asarray(batch["images"]))
         depths = np.asarray(out["depth"])  # (B, H, W) at source res
@@ -107,6 +110,11 @@ def eval_mono_dataset(
             else:
                 raise ValueError(f"unknown protocol {protocol!r}")
             m = fn(pred, jnp.asarray(gt))
+            if int(m["n_valid"]) == 0:
+                # No valid GT inside the crop: the metric values are
+                # degenerate zeros — skip rather than dilute the mean.
+                skipped += 1
+                continue
             for k in _MONO_METRICS:
                 sums[k] += float(m[k])
             count += 1
@@ -118,6 +126,8 @@ def eval_mono_dataset(
         raise ValueError("no evaluable items (missing GT?)")
     result = {k: v / count for k, v in sums.items()}
     result["count"] = count
+    if skipped:
+        result["skipped_no_valid_gt"] = skipped
     return result
 
 

@@ -66,14 +66,20 @@ class CostAggregation(nn.Module):
     """2-D conv U-Net over (cost ++ left features) → refined cost logits.
 
     Output is *matching cost* over D (lower = better) to feed soft-argmin.
+    With ``aux_heads`` the decoder also emits cost volumes at the /2 and
+    /4 internal scales (DispNetC-lineage intermediate supervision,
+    PAPERS.md:5 — anchors the soft-argmin against its uniform-softmax
+    collapse mode; see VERDICT r1 weak #5). Opt-in: it adds params, so
+    the default keeps reference checkpoint-parity.
     """
 
     out_disp: int
     channels: tuple = (64, 96, 128, 160)
+    aux_heads: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         c0, c1, c2, c3 = self.channels
         e0 = ConvRelu(c0, dtype=self.dtype, name="enc0")(x)
         e1 = ConvRelu(c1, stride=2, dtype=self.dtype, name="enc1")(e0)
@@ -93,25 +99,77 @@ class CostAggregation(nn.Module):
             upsample_concat(d1, e0, mode="nearest")
         )
         # Linear head: cost logits over the disparity axis.
-        return nn.Conv(
+        cost = nn.Conv(
             self.out_disp,
             (3, 3),
             padding=((1, 1), (1, 1)),
             dtype=self.dtype,
             name="cost_head",
         )(d0)
+        if not self.aux_heads:
+            return cost
+        aux = [
+            nn.Conv(
+                self.out_disp,
+                (3, 3),
+                padding=((1, 1), (1, 1)),
+                dtype=self.dtype,
+                name=f"cost_head_s{s}",
+            )(d)
+            for s, d in ((1, d1), (2, d2))
+        ]
+        return cost, aux
+
+
+class Refinement(nn.Module):
+    """FADNet-style residual disparity refinement (PAPERS.md:5).
+
+    Takes the left features and the (normalized) soft-argmin disparity,
+    predicts a residual. The residual head is zero-initialized so an
+    enabled refinement starts as the identity — training can only
+    improve on the coarse readout, and the lr-collapse mode (a frozen
+    constant readout) gains an escape path that bypasses the softmax.
+    """
+
+    max_disp: float
+    channels: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f_l: jnp.ndarray, disp_q: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate(
+            [f_l, (disp_q / self.max_disp).astype(self.dtype)[..., None]],
+            axis=-1,
+        )
+        y = ConvRelu(self.channels, dtype=self.dtype, name="conv1")(x)
+        y = ConvRelu(self.channels, dtype=self.dtype, name="conv2")(y)
+        r = nn.Conv(
+            1,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros_init(),
+            name="residual",
+        )(y)
+        return disp_q + r[..., 0].astype(jnp.float32) * self.max_disp
 
 
 class StereoNet(nn.Module):
-    """left, right (B, H, W, 3) normalized → full-res disparity (B, H, W) px."""
+    """left, right (B, H, W, 3) normalized → full-res disparity (B, H, W) px.
+
+    With ``cfg.refine`` the soft-argmin readout passes through a residual
+    :class:`Refinement` stage and ``__call__(..., return_aux=True)``
+    additionally returns the pre-refinement and intermediate-scale
+    disparities (full-res px) for multi-scale supervision.
+    """
 
     cfg: StereoConfig = StereoConfig()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, left: jnp.ndarray, right: jnp.ndarray
-    ) -> jnp.ndarray:
+        self, left: jnp.ndarray, right: jnp.ndarray, return_aux: bool = False
+    ):
         b, h, w, c_in = left.shape
         # Fold the stereo pair into the batch axis for the shared tower —
         # one big conv beats two half-size calls on the MXU. Interleave as
@@ -132,18 +190,50 @@ class StereoNet(nn.Module):
         cost = correlation1d(f_l, f_r, d_corr)  # (B, H/4, W/4, D)
 
         agg_in = jnp.concatenate([cost.astype(self.dtype), f_l], axis=-1)
-        refined = CostAggregation(
+        agg_out = CostAggregation(
             out_disp=d_corr,
             channels=self.cfg.agg_channels,
+            aux_heads=self.cfg.refine,
             dtype=self.dtype,
             name="aggregation",
         )(agg_in)
+        refined, aux_costs = agg_out if self.cfg.refine else (agg_out, [])
 
-        # Soft-argmin in fp32: the softmax over D is precision-sensitive.
-        disp_q = soft_argmin(refined.astype(jnp.float32))  # (B, H/4, W/4)
-        # Scale /4-pixel units to full-res pixels, then upsample x4.
-        disp_q = disp_q * float(self.cfg.feat_stride)
+        tau = self.cfg.softargmin_temperature
+
+        def readout(c):
+            # Soft-argmin in fp32: the softmax over D is precision-sensitive.
+            q = soft_argmin(c.astype(jnp.float32), temperature=tau)
+            return q * float(self.cfg.feat_stride)  # full-res px units
+
+        disp_q = readout(refined)  # (B, H/4, W/4)
+        aux_full = []
+        if self.cfg.refine:
+            if return_aux:
+                # Pre-refinement + intermediate scales, upsampled to full
+                # res (monodepth-style multi-scale supervision target).
+                aux_full.append(_up_to_full(disp_q, h, w))
+                for c in aux_costs:
+                    aux_full.append(_up_to_full(readout(c), h, w))
+            disp_q = Refinement(
+                max_disp=float(d_corr * self.cfg.feat_stride),
+                dtype=self.dtype,
+                name="refinement",
+            )(f_l, disp_q)
+
         disp = upsample2x(
             upsample2x(disp_q[..., None], mode="bilinear"), mode="bilinear"
-        )
-        return disp[..., 0]
+        )[..., 0]
+        if return_aux:
+            return disp, aux_full
+        return disp
+
+
+def _up_to_full(disp_q: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear-upsample a coarse (B, h', w') disparity to (B, h, w).
+    Values are already in full-res pixel units."""
+    x = disp_q[..., None]
+    while x.shape[1] < h:
+        x = upsample2x(x, mode="bilinear")
+    assert x.shape[1] == h and x.shape[2] == w, (x.shape, h, w)
+    return x[..., 0]

@@ -38,29 +38,33 @@ def _conv_kernel(
     th: int,
     width: int,
     activation: str,
+    border: str = "reflect",
 ):
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
     cur = cur_ref[0]  # (TH, W, Cin)
 
-    # Row halos with reflect at the image borders (row -1 ≡ row 1,
-    # row H ≡ row H-2). Halo rows arrive as single-row windows — HBM
-    # reads are ~(1 + 2/TH)x the input instead of the 3x a full
-    # prev/next-block scheme costs.
+    # Row halos at the image borders: reflect (row -1 ≡ row 1, row H ≡
+    # row H-2) for the standard ConvBlock, edge replication for the
+    # space-to-depth packed convs (ops/packed.py lemma: full-res reflect
+    # ≡ packed edge). Halo rows arrive as single-row windows — HBM reads
+    # are ~(1 + 2/TH)x the input instead of the 3x a full prev/next-block
+    # scheme costs.
+    r = 1 if border == "reflect" else 0
     top = jax.lax.cond(
         i == 0,
-        lambda: cur[1:2],
+        lambda: cur[r : r + 1],
         lambda: prev_ref[0],
     )
     bottom = jax.lax.cond(
         i == n_i - 1,
-        lambda: cur[th - 2 : th - 1],
+        lambda: cur[th - 1 - r : th - r],
         lambda: next_ref[0],
     )
     tile = jnp.concatenate([top, cur, bottom], axis=0)  # (TH+2, W, Cin)
-    # Reflect columns.
+    # Border columns (reflect or edge).
     tile = jnp.concatenate(
-        [tile[:, 1:2], tile, tile[:, width - 2 : width - 1]], axis=1
+        [tile[:, r : r + 1], tile, tile[:, width - 1 - r : width - r]], axis=1
     )  # (TH+2, W+2, Cin)
 
     acc = None
@@ -82,6 +86,9 @@ def _conv_kernel(
         acc = jnp.where(acc > 0, acc, jnp.exp(acc) - 1.0)
     elif activation == "relu":
         acc = jnp.maximum(acc, 0.0)
+    elif activation == "sigmoid":
+        # fp32 sigmoid head (DispHead policy: bf16 saturates the tails).
+        acc = jax.nn.sigmoid(acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -155,7 +162,7 @@ conv3x3_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("activation", "interpret")
+    jax.jit, static_argnames=("activation", "interpret", "border", "out_dtype")
 )
 def conv3x3_elu_pallas(
     x: jnp.ndarray,
@@ -163,11 +170,17 @@ def conv3x3_elu_pallas(
     bias: jnp.ndarray,
     activation: str = "elu",
     interpret: bool = False,
+    border: str = "reflect",
+    out_dtype=None,
 ) -> jnp.ndarray:
     """x (B, H, W, Cin), kernel (3, 3, Cin, Cout), bias (Cout) →
-    ELU(conv3x3(reflect_pad(x))) as (B, H, W, Cout)."""
+    act(conv3x3(pad(x))) as (B, H, W, Cout).
+
+    ``border`` selects reflect (standard ConvBlock) or edge padding (the
+    space-to-depth packed convs of ops/packed.py)."""
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
+    out_dtype = out_dtype or x.dtype
     th = _pick_th(h, w, cin, cout, x.dtype.itemsize)
     if th == 0:
         raise ValueError(f"H={h} not tileable; use the XLA fallback")
@@ -181,7 +194,7 @@ def conv3x3_elu_pallas(
 
     out = pl.pallas_call(
         functools.partial(
-            _conv_kernel, th=th, width=w, activation=activation
+            _conv_kernel, th=th, width=w, activation=activation, border=border
         ),
         grid=(b, n_blocks),
         in_specs=[
@@ -205,7 +218,7 @@ def conv3x3_elu_pallas(
             pl.BlockSpec((1, cout), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, th, w, cout), block, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * 9 * cin * cout,
             bytes_accessed=(b * h * w * (cin + cout)) * x.dtype.itemsize,

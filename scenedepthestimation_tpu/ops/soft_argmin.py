@@ -27,27 +27,38 @@ def set_use_pallas(flag: bool) -> None:
 
 
 def soft_argmin(
-    cost: jnp.ndarray, use_pallas: bool | None = None
+    cost: jnp.ndarray,
+    use_pallas: bool | None = None,
+    temperature: float = 1.0,
 ) -> jnp.ndarray:
     """(B, H, W, D) cost volume → (B, H, W) expected disparity.
 
     Convention: ``cost`` is *matching cost* (lower = better), per GC-Net —
     softmax is taken over the negated cost.
+
+    ``temperature`` scales the logits (softmax over -cost/τ). τ < 1
+    sharpens the distribution toward the hard argmin — a mitigation for
+    the uniform-softmax collapse observed at high LR (BASELINE.md round-1
+    training note): a flat cost volume under τ < 1 still produces
+    per-pixel gradients toward the best bin instead of freezing at the
+    D/2 expectation. τ = 1.0 is the GC-Net default (reference parity).
     """
     use = _USE_PALLAS if use_pallas is None else use_pallas
-    if use:
+    if use and temperature == 1.0:
         from scenedepthestimation_tpu.ops.pallas.soft_argmin import (
             soft_argmin_pallas,
         )
 
         return soft_argmin_pallas(cost)
-    return _soft_argmin_jnp(cost)
+    return _soft_argmin_jnp(cost, temperature)
 
 
-def _soft_argmin_jnp(cost: jnp.ndarray) -> jnp.ndarray:
+def _soft_argmin_jnp(cost: jnp.ndarray, temperature: float = 1.0) -> jnp.ndarray:
     d = cost.shape[-1]
     # Numerically-stable softmax over -cost along the lane-minor D axis.
     logits = -cost
+    if temperature != 1.0:
+        logits = logits / jnp.asarray(temperature, cost.dtype)
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
     weights = jnp.exp(logits)
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)

@@ -44,30 +44,56 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(
+def make_lr_schedule(
     learning_rate: float = 1e-4,
     scheduler: str = "step",
     decay_steps: int = 15_000,
     decay_rate: float = 0.1,
-) -> optax.GradientTransformation:
-    """Adam with the reference-family step schedule (monodepth2 drops LR
-    10x after ~3/4 of training; UNVERIFIED vs reference)."""
+    warmup_steps: int = 0,
+):
+    """LR schedule: reference-family step decay (monodepth2 drops LR 10x
+    after ~3/4 of training; UNVERIFIED vs reference), optionally preceded
+    by a linear warmup — the mitigation for the high-LR soft-argmin
+    collapse (BASELINE.md round-1 note; VERDICT r1 next-#5): early large
+    steps on the randomly-initialized cost head are what flatten the
+    volume into the frozen uniform-softmax state."""
     if scheduler == "step":
-        lr = optax.exponential_decay(
+        base = optax.exponential_decay(
             learning_rate,
             transition_steps=decay_steps,
             decay_rate=decay_rate,
             staircase=True,
         )
     elif scheduler == "constant":
-        lr = learning_rate
+        base = optax.constant_schedule(learning_rate)
     else:
         raise ValueError(f"unknown scheduler {scheduler!r}")
-    return optax.adam(lr)
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        return optax.join_schedules([warmup, base], [warmup_steps])
+    return base
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    scheduler: str = "step",
+    decay_steps: int = 15_000,
+    decay_rate: float = 0.1,
+    warmup_steps: int = 0,
+) -> optax.GradientTransformation:
+    """Adam over :func:`make_lr_schedule`."""
+    return optax.adam(
+        make_lr_schedule(
+            learning_rate, scheduler, decay_steps, decay_rate, warmup_steps
+        )
+    )
 
 
 def make_train_state(
-    cfg: RunConfig, seed: int = 0, learning_rate: float = 1e-4
+    cfg: RunConfig,
+    seed: int = 0,
+    learning_rate: float = 1e-4,
+    warmup_steps: int = 0,
 ) -> TrainState:
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     rng = jax.random.PRNGKey(seed)
@@ -79,7 +105,7 @@ def make_train_state(
         z = jnp.zeros((1, cfg.stereo.height, cfg.stereo.width, 3), dtype)
         dummy = (z, z)
     variables = model.init(rng, *dummy)
-    tx = make_optimizer(learning_rate)
+    tx = make_optimizer(learning_rate, warmup_steps=warmup_steps)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -154,7 +180,11 @@ def _to01_at(img, net_hw):
 
 def make_stereo_train_step(cfg: RunConfig):
     """Supervised stereo step: batch = {'left','right' uint8 BHW3,
-    'gt_disp' float BHW px, 'valid' bool BHW}."""
+    'gt_disp' float BHW px, 'valid' bool BHW}.
+
+    With ``cfg.stereo.refine`` the loss additionally supervises the
+    pre-refinement and intermediate-scale readouts (weights 1/2^k,
+    DispNetC-lineage multi-scale supervision — VERDICT r1 next-#3)."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     net_hw = (cfg.stereo.height, cfg.stereo.width)
 
@@ -162,8 +192,20 @@ def make_stereo_train_step(cfg: RunConfig):
         xl = preprocess(batch["left"], net_hw, cfg.pre, compute_dtype=dtype)
         xr = preprocess(batch["right"], net_hw, cfg.pre, compute_dtype=dtype)
         model = StereoNet(cfg=cfg.stereo, dtype=dtype)
-        disp = model.apply({"params": params}, xl, xr).astype(jnp.float32)
-        return losses.stereo_supervised_loss(disp, batch["gt_disp"], batch["valid"])
+        if not cfg.stereo.refine:
+            disp = model.apply({"params": params}, xl, xr).astype(jnp.float32)
+            return losses.stereo_supervised_loss(
+                disp, batch["gt_disp"], batch["valid"]
+            )
+        disp, aux = model.apply({"params": params}, xl, xr, return_aux=True)
+        total = losses.stereo_supervised_loss(
+            disp.astype(jnp.float32), batch["gt_disp"], batch["valid"]
+        )
+        for k, a in enumerate(aux):
+            total = total + losses.stereo_supervised_loss(
+                a.astype(jnp.float32), batch["gt_disp"], batch["valid"]
+            ) / (2.0 ** (k + 1))
+        return total
 
     @jax.jit
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
@@ -252,7 +294,10 @@ def make_mono_selfsup_train_step(cfg: RunConfig):
 
 
 def make_temporal_train_state(
-    cfg: RunConfig, seed: int = 0, learning_rate: float = 1e-4
+    cfg: RunConfig,
+    seed: int = 0,
+    learning_rate: float = 1e-4,
+    warmup_steps: int = 0,
 ) -> TrainState:
     """Joint depth+pose state for temporal self-supervision (SURVEY
     §3.5 / C14): params = {'depth': ..., 'pose': ...}."""
@@ -270,7 +315,7 @@ def make_temporal_train_state(
         "depth": dvars.get("batch_stats", {}),
         "pose": pvars.get("batch_stats", {}),
     }
-    tx = make_optimizer(learning_rate)
+    tx = make_optimizer(learning_rate, warmup_steps=warmup_steps)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -106,6 +106,10 @@ def evaluate_depth_image(
     pred = jnp.clip(pred, cfg.min_depth, cfg.max_depth)
     out = depth_errors(gt_depth, pred, mask)
     out["scale_ratio"] = ratio
+    # Callers must skip images with no valid GT in the crop — the metric
+    # values above degenerate to 0 (denominators clamp to 1) and would
+    # silently dilute a dataset mean (ADVICE r1).
+    out["n_valid"] = jnp.sum(mask).astype(jnp.int32)
     return out
 
 

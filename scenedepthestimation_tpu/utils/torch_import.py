@@ -7,6 +7,7 @@ models consume. torch is only imported here — the rest of the framework
 never depends on it.
 
 Mapping rules (unit-tested against shape/value parity in
+tests/test_checkpoint.py, tests/test_parity.py and
 tests/test_torch_import.py):
 
 * ``module.path.weight`` 4-D  → ``module/path: kernel`` transposed
@@ -29,6 +30,16 @@ import numpy as np
 
 _BN_STATS = {"running_mean": "mean", "running_var": "var"}
 
+# monodepth2-family DepthDecoder serializes its convs through
+# ``nn.ModuleList(list(self.convs.values()))``; the OrderedDict build
+# order is deterministic: upconv_{4..0}_{0,1} then dispconv_{scales}.
+# Numeric keys like ``decoder.0.conv.conv.weight`` therefore map 1:1 to
+# our Flax module names (ADVICE r1; unverifiable vs the empty mount but
+# the family convention is fixed).
+_MD2_DECODER_ORDER = tuple(
+    f"upconv_{i}_{j}" for i in range(4, -1, -1) for j in (0, 1)
+) + tuple(f"dispconv_{s}" for s in (0, 1, 2, 3))
+
 
 def _canonical_path(parts: list) -> list:
     """Apply torchvision→flax module-name rewrites."""
@@ -43,6 +54,21 @@ def _canonical_path(parts: list) -> list:
         if re.fullmatch(r"layer\d+", p) and i + 1 < len(parts) and parts[i + 1].isdigit():
             out.append(f"{p}_{parts[i + 1]}")
             i += 2
+            continue
+        if (
+            p == "decoder"
+            and i + 1 < len(parts)
+            and parts[i + 1].isdigit()
+            and int(parts[i + 1]) < len(_MD2_DECODER_ORDER)
+        ):
+            name = _MD2_DECODER_ORDER[int(parts[i + 1])]
+            out.append(name)
+            i += 2
+            # monodepth2 ConvBlock nests Conv3x3 (conv.conv); ours is one
+            # module named ``conv``.
+            if name.startswith("upconv") and parts[i : i + 2] == ["conv", "conv"]:
+                out.append("conv")
+                i += 2
             continue
         out.append(p)
         i += 1
@@ -114,13 +140,23 @@ def _merge(dst: Dict[str, Any], src: Dict[str, Any]) -> None:
             dst[k] = v
 
 
+def _strip_bookkeeping(state: Mapping[str, Any]) -> Dict[str, Any]:
+    """Drop the non-tensor entries the reference family stores alongside
+    weights inside ``encoder.pth`` ('height'/'width'/'use_stereo')."""
+    return {
+        k: v
+        for k, v in state.items()
+        if hasattr(v, "ndim") and not isinstance(v, (int, float, str, bool))
+    }
+
+
 def load_torch_file(path: str, pipeline: str = "mono") -> Dict[str, Any]:
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
-    return convert_state_dict(state)
+    return convert_state_dict(_strip_bookkeeping(state))
 
 
 def load_torch_dir(path: str, pipeline: str = "mono") -> Dict[str, Any]:
@@ -142,10 +178,9 @@ def load_torch_dir(path: str, pipeline: str = "mono") -> Dict[str, Any]:
         )
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
-        # Drop non-tensor bookkeeping entries the reference family stores
-        # alongside weights (height/width/use_stereo flags).
-        state = {k: v for k, v in state.items() if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 0 and not isinstance(v, (int, float, str))}
-        converted = convert_state_dict(state, prefix=nest_by_stem.get(stem, ""))
+        converted = convert_state_dict(
+            _strip_bookkeeping(state), prefix=nest_by_stem.get(stem, "")
+        )
         _merge(out["params"], converted.get("params", {}))
         _merge(out["batch_stats"], converted.get("batch_stats", {}))
     if not out["batch_stats"]:

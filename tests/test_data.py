@@ -68,8 +68,9 @@ def test_velodyne_projection(tmp_path):
     velo = tmp_path / "scan.bin"
     pts.astype(np.float32).tofile(velo)
     depth = io.velodyne_to_depth(str(velo), str(tmp_path), cam=2, image_hw=(32, 96))
-    # Straight ahead → principal point (u=48, v=16), depth 10.
-    assert depth[16, 48] == pytest.approx(10.0, abs=1e-4)
+    # Straight ahead → principal point (u=48, v=16) minus the devkit's
+    # 1-based→0-based pixel correction (KITTI MATLAB convention).
+    assert depth[15, 47] == pytest.approx(10.0, abs=1e-4)
     assert (depth > 0).sum() == 1
 
 
@@ -81,7 +82,7 @@ def test_velodyne_projection_min_depth_wins(tmp_path):
     velo = tmp_path / "scan.bin"
     pts.tofile(velo)
     depth = io.velodyne_to_depth(str(velo), str(tmp_path), cam=2, image_hw=(32, 96))
-    assert depth[16, 48] == pytest.approx(5.0, abs=1e-4)
+    assert depth[15, 47] == pytest.approx(5.0, abs=1e-4)
 
 
 def test_kitti_intrinsics(tmp_path):
@@ -124,7 +125,7 @@ def test_kitti_raw_dataset(tmp_path):
     s = ds[1]
     assert s["image"].shape == (32, 96, 3)
     assert s["gt_depth"].shape == (32, 96)
-    assert s["gt_depth"][16, 48] == pytest.approx(11.0, abs=1e-4)
+    assert s["gt_depth"][15, 47] == pytest.approx(11.0, abs=1e-4)
 
 
 def test_kitti_batching_pads_last(tmp_path):
