@@ -62,6 +62,9 @@ def main():
         ("u01  16->16 @384x1152", (384, 1152, 16), 16, "elu"),
         ("disp 16->1  @384x1152", (384, 1152, 16), 1, "none"),
     ]
+    if len(sys.argv) > 2:  # e.g. "3,4" to run only u01+disp
+        idx = [int(i) for i in sys.argv[2].split(",")]
+        shapes = [shapes[i] for i in idx]
     for label, (h, w, cin), cout, act in shapes:
         x = jnp.asarray(rng.normal(0, 1, (b, h, w, cin)).astype(np.float32)).astype(dtype)
         k = jnp.asarray(rng.normal(0, 0.1, (3, 3, cin, cout)).astype(np.float32)).astype(dtype)

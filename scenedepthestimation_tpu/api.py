@@ -57,20 +57,52 @@ def build_mono_program(
         and 0 in cfg.mono.scales
     )
 
-    def forward_disp0(variables, x):
-        if not use_packed:
-            return model.apply(variables, x)[0]
-        from scenedepthestimation_tpu.models.resnet import ResNetEncoder
-        from scenedepthestimation_tpu.ops.packed import packed_mono_decoder
+    use_folded = cfg.mono.fold_bn
 
-        feats = ResNetEncoder(num_layers=cfg.mono.num_layers, dtype=dtype).apply(
-            {
-                "params": variables["params"]["encoder"],
-                "batch_stats": variables["batch_stats"]["encoder"],
-            },
-            x,
-        )
-        return packed_mono_decoder(
+    def forward_disp0(variables, x):
+        if not (use_packed or use_folded):
+            return model.apply(variables, x)[0]
+
+        if use_folded:
+            from scenedepthestimation_tpu.models.folded import (
+                fold_encoder_bn,
+                folded_encoder_apply,
+            )
+
+            # Loop-invariant under jit (depends only on the weights); for
+            # the per-call serving path it is param-sized — negligible.
+            folded = fold_encoder_bn(
+                variables["params"]["encoder"],
+                variables["batch_stats"]["encoder"],
+                cfg.mono.num_layers,
+            )
+            feats = folded_encoder_apply(
+                folded, x, cfg.mono.num_layers, dtype=dtype
+            )
+        else:
+            from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+
+            feats = ResNetEncoder(
+                num_layers=cfg.mono.num_layers, dtype=dtype
+            ).apply(
+                {
+                    "params": variables["params"]["encoder"],
+                    "batch_stats": variables["batch_stats"]["encoder"],
+                },
+                x,
+            )
+        if not use_packed:
+            from scenedepthestimation_tpu.models.unet_decoder import DepthDecoder
+
+            return DepthDecoder(
+                dec_channels=cfg.mono.dec_channels,
+                scales=cfg.mono.scales,
+                upsample_mode=cfg.mono.upsample_mode,
+                dtype=dtype,
+            ).apply({"params": variables["params"]["decoder"]}, feats)[0]
+        from scenedepthestimation_tpu.ops.collapsed import collapsed_mono_decoder
+
+        return collapsed_mono_decoder(
             variables["params"]["decoder"],
             feats,
             dec_channels=cfg.mono.dec_channels,

@@ -40,10 +40,23 @@ class MonoConfig:
     # 128 TPU lanes the C=16/32 levels otherwise waste. Inference
     # programs only; requires nearest upsample and H, W % 4 == 0
     # (api.build_mono_program falls back automatically otherwise).
-    # Default OFF by measurement: first-cut packed program benched 950
-    # fps vs 1123 standard at the judged config (bench/profile_packed.py
-    # isolates why; see BASELINE.md round-2 notes).
-    packed_decoder: bool = False
+    # Round-2 rewrite (ops/collapsed.py): the nearest upsample is FOLDED
+    # into the following conv (one half-res conv emitting the s2d-packed
+    # full-res result at the ORIGINAL FLOP count — the round-1 plain
+    # s2d rewrite carried 4x structural-zero FLOPs and was a measured
+    # wash), the level-1 skip runs as a stride-2 4x4 conv reading
+    # features[0] directly, and no full-res tensor materializes until
+    # the final depth_to_space. Measured numbers in BASELINE.md:
+    # 1317.3 vs 1112.6 fps at the judged config (+18%), parity exact to
+    # reassociation (tests/test_collapsed.py). Default ON for inference
+    # programs (api.build_mono_program falls back automatically when the
+    # preconditions fail); training always uses the standard decoder.
+    packed_decoder: bool = True
+    # Fold BatchNorm statistics into the encoder conv weights for
+    # inference programs (models/folded.py): removes ~10 separate
+    # elementwise BN passes over (B, H, W, C) activations per forward.
+    # Inference-only; the Trainer keeps live-statistics BN.
+    fold_bn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

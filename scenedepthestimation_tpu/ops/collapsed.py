@@ -1,0 +1,228 @@
+"""Collapsed-upsample execution of the decoder's finest levels — the
+round-2 successor to the plain space-to-depth rewrite of ops/packed.py.
+
+Why packing alone was a wash (measured, BASELINE.md round-2 notes): a
+s2d-packed 3x3 conv carries 4x the FLOPs (3/4 of the packed kernel is
+structural zeros) at 4x the lane utilization — MXU time is unchanged,
+and HBM bytes are identical, so only the small-copy overheads moved.
+
+The collapse: the decoder upsamples with NEAREST interpolation, so the
+full-res conv input U = upsample2x(z) satisfies U[r, s] = z[r//2, s//2].
+For output pixel (2p+a, 2q+b):
+
+    y[2p+a, 2q+b] = sum_{dy,dx} k[dy+1, dx+1] * z[(2p+a+dy)//2, (2q+b+dx)//2]
+
+and the row index (2p+a+dy)//2 only takes TWO values: {p-1, p} for a=0,
+{p, p+1} for a=1 — taps that hit the same source pixel MERGE by
+linearity (k[1]+k[2] for a=0, k[0]+k[1] for a=1; same for columns). The
+whole ``conv3x3 ∘ upsample2x`` therefore equals ONE 3x3 conv on the
+HALF-RES z with a derived (3, 3, C, 4*Co) kernel whose output channels
+are the four spatial parity groups — i.e. it directly produces the
+space-to-depth packing of the full-res result:
+
+  * FLOPs: identical to the original full-res conv (the 4x tiling
+    redundancy of plain packing is what collapses);
+  * lane utilization: 4x (Co=16 -> 64 output lanes);
+  * bandwidth: no full-res tensor is ever materialized — the upsample,
+    its (H, W, C) write, and the full-res reflect-pad copies all vanish.
+
+Border exactness: nearest upsampling makes full-res REFLECT padding
+coincide with half-res EDGE padding (U[-1] = U[1] = z[0]; U[2H] =
+U[2H-2] = z[H-1]) — same lemma as ops/packed.py, re-used here.
+
+The subsequent full-res convs that do NOT follow an upsample (upconv_0_0
+at H/2, dispconv_0 at H) run as standard packed convs
+(ops/packed.pack_conv3x3_kernel) on the packed activations, so the only
+full-res tensor in the whole tail is the final (B, H, W, 1) disparity
+written by one depth_to_space.
+
+Exactness is reassociation-only (tap sums are computed in the param
+dtype before the conv); tests/test_collapsed.py pins equality with the
+standard DepthDecoder path at fp32 tolerance.
+
+Reference parity note: this is an execution-layout rewrite of the
+monodepth2-lineage decoder (SURVEY C7/C13); the architecture, weights,
+and outputs are unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from scenedepthestimation_tpu.ops.pallas.conv_block import conv3x3_xla
+from scenedepthestimation_tpu.ops.packed import (
+    depth_to_space,
+    pack_conv3x3_kernel,
+)
+from scenedepthestimation_tpu.ops.upsample import upsample_concat
+
+# Row-collapse matrices: M[a][z_offset_index, tap_index] = 1 iff full-res
+# tap ``tap`` of output parity ``a`` reads half-res row p + (z_offset-1).
+#   a=0: taps (dy=-1,0,1) read rows (p-1, p, p); a=1: rows (p, p, p+1).
+_M = (
+    np.array([[1, 0, 0], [0, 1, 1], [0, 0, 0]], np.float32),
+    np.array([[0, 0, 0], [1, 1, 0], [0, 0, 1]], np.float32),
+)
+
+
+def collapse_upsample_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, Co) kernel of ``conv3x3 ∘ upsample2x_nearest`` →
+    (3, 3, C, 4*Co) kernel of the equivalent half-res conv producing the
+    s2d-packed output (channel order g-major, g = 2a+b — matches
+    ops/packed.space_to_depth)."""
+    groups = []
+    for a in (0, 1):
+        ma = jnp.asarray(_M[a], k.dtype)
+        for b in (0, 1):
+            mb = jnp.asarray(_M[b], k.dtype)
+            groups.append(jnp.einsum("it,ju,tuco->ijco", ma, mb, k))
+    return jnp.concatenate(groups, axis=-1)
+
+
+def conv3x3_edge(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """EDGE-padded 3x3 conv (the packed/collapsed-space image of the
+    full-res reflect pad). No bias/activation — callers fuse those."""
+    return lax.conv_general_dilated(
+        jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge"),
+        kernel,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def strided_skip_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, Co) kernel of a reflect-padded 3x3 conv whose output is
+    wanted s2d-PACKED → the (4, 4, C, 4*Co) stride-2 kernel that computes
+    it DIRECTLY from the unpacked input (use with
+    :func:`strided_skip_conv`).
+
+    Versus packing the input (s2d + a (3,3,4C,4Co) conv = 4x FLOPs and a
+    full extra pass over the tensor), the strided form reads the source
+    once and carries only 16/9 the original taps: output parity (a, b)
+    at strided position (p, q) reads input rows 2p+a+dy — i.e. rows
+    2p-1..2p+2 — so a 4x4 stride-2 window covers all four parities, with
+    tap (u, v) of output group (a, b) equal to k[u-a, v-b] (zero when the
+    index leaves [0, 2]).
+
+    This is the right form for the non-upsampled operand of a conv whose
+    output wants packing (the skip branch of decoder level 1); the
+    upsampled operand uses :func:`collapse_upsample_conv_kernel`.
+    """
+    c, co = k.shape[2], k.shape[3]
+    zero = jnp.zeros((c, co), k.dtype)
+    rows = []
+    for u in range(4):
+        cols = []
+        for v in range(4):
+            go = []
+            for a in (0, 1):
+                for b in (0, 1):
+                    go.append(
+                        k[u - a, v - b]
+                        if 0 <= u - a <= 2 and 0 <= v - b <= 2
+                        else zero
+                    )
+            cols.append(jnp.concatenate(go, axis=1))  # (C, 4*Co)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)  # (4, 4, C, 4*Co)
+
+
+def strided_skip_conv(x: jnp.ndarray, kernel4: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/2, W/2, 4*Co): reflect-padded 3x3 conv with
+    s2d-packed output, computed directly by a stride-2 4x4 conv.
+
+    The reflect pad is the conv's OWN (its input sits at the conv's
+    resolution — unlike the packed/collapsed operands whose border is
+    the image of a full-res reflect, i.e. edge)."""
+    return lax.conv_general_dilated(
+        jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="reflect"),
+        kernel4,
+        window_strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def collapsed_mono_decoder(
+    dec_params,
+    features,
+    dec_channels=(16, 32, 64, 128, 256),
+    upsample_mode: str = "nearest",
+    dtype=jnp.float32,
+    disp_variant: str = "packed",
+) -> jnp.ndarray:
+    """Scale-0 disparity with levels 1 and 0 in collapsed/packed layout.
+
+    Reads the standard ``DepthDecoder`` param tree (checkpoints and the
+    torch importer are unaffected). Returns (B, H, W, 1) fp32 sigmoid
+    disparity, equal to ``DepthDecoder(...)(features)[0]`` up to
+    reassociation error.
+
+    disp_variant:
+      * "packed" — dispconv as a packed (3, 3, 4c0, 4) conv at H/2.
+      * "fullres" — depth_to_space the packed u01 output and run the
+        dispconv at full res (XLA baseline for the variant bench).
+    """
+    assert upsample_mode == "nearest", "collapse requires nearest upsample"
+    c0, c1 = dec_channels[0], dec_channels[1]
+
+    def p(name):
+        q = dec_params[name]["conv"]
+        return q["kernel"], q["bias"]
+
+    def cb(name, t):  # standard ConvBlock: reflect-pad conv3x3 + ELU
+        k, b = p(name)
+        return conv3x3_xla(t.astype(dtype), k.astype(dtype), b.astype(dtype), "elu")
+
+    x = features[-1]
+    for i in (4, 3, 2):
+        x = cb(f"upconv_{i}_0", x)
+        x = upsample_concat(x, features[i - 1], mode=upsample_mode)
+        x = cb(f"upconv_{i}_1", x)
+
+    # ---- level 1: upconv_1_1 over concat([upsample(t), features[0]]) --
+    # The t-part collapses (it is the upsampled operand); the skip part
+    # reads features[0] directly through the stride-2 4x4 form (no s2d
+    # pass, 16/9 taps instead of the packed conv's 4x). Both emit the
+    # same packed output layout, so they sum before the shared bias+ELU.
+    t = cb("upconv_1_0", x)  # (B, H/4, W/4, c1)
+    k11, b11 = p("upconv_1_1")
+    k11 = k11.astype(dtype)
+    y1p = conv3x3_edge(t, collapse_upsample_conv_kernel(k11[:, :, :c1, :]))
+    y1p = y1p + strided_skip_conv(
+        features[0].astype(dtype),
+        strided_skip_conv_kernel(k11[:, :, c1:, :]),
+    )
+    y1p = jax.nn.elu(y1p + jnp.tile(b11.astype(dtype), 4))
+    # (B, H/4, W/4, 4*c1) = packed (H/2, W/2, c1)
+
+    # ---- upconv_0_0: a plain full-res-H/2 conv -> packed conv ---------
+    k00, b00 = p("upconv_0_0")
+    zp = jax.nn.elu(
+        conv3x3_edge(y1p, pack_conv3x3_kernel(k00.astype(dtype)))
+        + jnp.tile(b00.astype(dtype), 4)
+    )  # (B, H/4, W/4, 4*c0) = packed (H/2, W/2, c0)
+
+    # ---- level 0: collapse upconv_0_1 ∘ upsample2x --------------------
+    # Unpack z first: the collapsed conv then runs at (H/2, W/2) with the
+    # ORIGINAL FLOP count; composing with the packing instead (a conv at
+    # H/4) would re-introduce the 4x structural-zero FLOPs.
+    z = depth_to_space(zp)  # (B, H/2, W/2, c0)
+    k01, b01 = p("upconv_0_1")
+    y0p = jax.nn.elu(
+        conv3x3_edge(z, collapse_upsample_conv_kernel(k01.astype(dtype)))
+        + jnp.tile(b01.astype(dtype), 4)
+    )  # (B, H/2, W/2, 4*c0) = packed (H, W, c0)
+
+    kd, bd = p("dispconv_0")
+    if disp_variant == "fullres":
+        y0 = depth_to_space(y0p)  # (B, H, W, c0)
+        d = conv3x3_xla(y0, kd.astype(dtype), bd.astype(dtype), "none")
+        return jax.nn.sigmoid(d.astype(jnp.float32))
+    dp = conv3x3_edge(y0p, pack_conv3x3_kernel(kd.astype(dtype)))
+    dp = jax.nn.sigmoid((dp + jnp.tile(bd.astype(dtype), 4)).astype(jnp.float32))
+    return depth_to_space(dp)  # (B, H, W, 1) fp32

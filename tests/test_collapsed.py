@@ -1,0 +1,100 @@
+"""Collapsed-upsample decoder equivalence (ops/collapsed.py).
+
+The collapsed path folds the nearest upsample into the following conv
+(one half-res conv emitting the s2d-packed full-res result). It must be
+numerically identical (to fp32 reassociation error) to the standard
+DepthDecoder — an execution-layout rewrite, not an architecture change.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from scenedepthestimation_tpu.configs import MonoConfig
+from scenedepthestimation_tpu.models.monodepth import MonoDepthNet
+from scenedepthestimation_tpu.ops import collapsed, packed
+from scenedepthestimation_tpu.ops.pallas.conv_block import conv3x3_xla
+from scenedepthestimation_tpu.ops.upsample import upsample2x
+
+
+@pytest.mark.parametrize("cin,cout", [(5, 3), (16, 16)])
+def test_collapsed_kernel_matches_conv_of_upsample(cin, cout):
+    """conv3x3_reflect(upsample2x(z)) == d2s(conv3x3_edge(z, collapsed))."""
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(2, 7, 9, cin)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+
+    want = conv3x3_xla(upsample2x(z, mode="nearest"), k, b, "elu")
+    kp = collapsed.collapse_upsample_conv_kernel(k)
+    got = packed.depth_to_space(
+        jax.nn.elu(collapsed.conv3x3_edge(z, kp) + jnp.tile(b, 4))
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_collapsed_kernel_group_layout():
+    """Output channel (2a+b)*Co + o is parity group (a, b) of channel o —
+    the same g-major order as ops/packed.space_to_depth."""
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=(1, 5, 6, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 2)).astype(np.float32))
+    y = conv3x3_xla(upsample2x(z, mode="nearest"), k, jnp.zeros((2,)), "none")
+    yp = collapsed.conv3x3_edge(z, collapsed.collapse_upsample_conv_kernel(k))
+    for a in (0, 1):
+        for b in (0, 1):
+            for o in (0, 1):
+                np.testing.assert_allclose(
+                    np.asarray(yp[..., (2 * a + b) * 2 + o]),
+                    np.asarray(y[:, a::2, b::2, o]),
+                    atol=1e-5,
+                )
+
+
+@pytest.mark.parametrize("cin,cout", [(5, 3), (8, 4)])
+def test_strided_skip_conv_matches_reflect_conv(cin, cout):
+    """s2d(conv3x3_reflect(x)) == strided_skip_conv(x) (packed output
+    computed directly by the stride-2 4x4 form)."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 10, 14, cin)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1)
+
+    want = packed.space_to_depth(
+        conv3x3_xla(x, k, jnp.zeros((cout,)), "none")
+    )
+    got = collapsed.strided_skip_conv(x, collapsed.strided_skip_conv_kernel(k))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("disp_variant", ["packed", "fullres"])
+def test_collapsed_mono_decoder_matches_standard(disp_variant):
+    """End-to-end: collapsed decoder == DepthDecoder scale-0, fp32."""
+    cfg = MonoConfig(height=64, width=128)
+    model = MonoDepthNet(cfg=cfg)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 64, 128, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(variables, x)[0])
+
+    from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+
+    feats = ResNetEncoder(num_layers=cfg.num_layers).apply(
+        {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        },
+        x,
+    )
+    got = np.asarray(
+        collapsed.collapsed_mono_decoder(
+            variables["params"]["decoder"],
+            feats,
+            dec_channels=cfg.dec_channels,
+            upsample_mode=cfg.upsample_mode,
+            disp_variant=disp_variant,
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
