@@ -59,6 +59,20 @@ from scenedepthestimation_tpu.ops.packed import (
 )
 from scenedepthestimation_tpu.ops.upsample import upsample_concat
 
+# Fused Pallas u00→u01 tail chain (ops/pallas/fused_tail.py).
+# Default OFF by measurement (b128 judged config): the kernel runs the
+# chain in one VMEM pass but its stage-2 double-packed conv sustains
+# only half MXU utilization (9 separate K=64 dots) — 29 ms vs the XLA
+# chain's 16.7, e2e 1164 fps vs 1327 (BASELINE.md round-2 notes).
+# Kernel + tests kept; None = False until an im2col variant wins.
+_USE_FUSED_TAIL: bool | None = None
+
+
+def set_use_fused_tail(flag: bool | None) -> None:
+    global _USE_FUSED_TAIL
+    _USE_FUSED_TAIL = flag
+
+
 # Row-collapse matrices: M[a][z_offset_index, tap_index] = 1 iff full-res
 # tap ``tap`` of output parity ``a`` reads half-res row p + (z_offset-1).
 #   a=0: taps (dy=-1,0,1) read rows (p-1, p, p); a=1: rows (p, p, p+1).
@@ -131,6 +145,84 @@ def strided_skip_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows)  # (4, 4, C, 4*Co)
 
 
+def pad_packed_edge(x: jnp.ndarray) -> jnp.ndarray:
+    """Pad an s2d-PACKED tensor so a VALID 3x3 conv reproduces an EDGE
+    border of the UNPACKED plane.
+
+    The reflect↔edge lemma of ops/packed.py does not transfer to edge:
+    the top halo row of a packed conv is only read at its α=1 channel
+    slot, which must hold unpacked row -1 ≡ edge ≡ unpacked row 0 = the
+    α=0 group of packed row 0 — so the halo is packed row 0 with its
+    α=0 half duplicated into BOTH α slots (bottom: the α=1 half;
+    left/right columns: the β=0 / β=1 groups; corners compose).
+
+    Needed when packing a conv whose own border is already EDGE — e.g.
+    the dispconv over the double-packed y0pp (the fused-tail output),
+    whose half-res border is the edge image of the full-res reflect.
+    """
+    c4 = x.shape[-1]
+    half, q = c4 // 2, c4 // 4
+    top = jnp.concatenate([x[:, :1, :, :half], x[:, :1, :, :half]], axis=-1)
+    bot = jnp.concatenate([x[:, -1:, :, half:], x[:, -1:, :, half:]], axis=-1)
+    x = jnp.concatenate([top, x, bot], axis=1)
+    lcol = x[:, :, :1]
+    left = jnp.concatenate(
+        [lcol[..., 0:q], lcol[..., 0:q], lcol[..., 2 * q : 3 * q],
+         lcol[..., 2 * q : 3 * q]],
+        axis=-1,
+    )
+    rcol = x[:, :, -1:]
+    right = jnp.concatenate(
+        [rcol[..., q : 2 * q], rcol[..., q : 2 * q],
+         rcol[..., 3 * q : 4 * q], rcol[..., 3 * q : 4 * q]],
+        axis=-1,
+    )
+    return jnp.concatenate([left, x, right], axis=2)
+
+
+def colpack_conv_kernel(kp: jnp.ndarray, block: int = 32) -> jnp.ndarray:
+    """(3, 3, C, G) conv kernel → (3, block+2, C, block*G) kernel whose
+    output packs ``block`` consecutive output COLUMNS into channels.
+
+    Why: a conv with tiny Cout (the disparity head: G=4 packed, G=1 at
+    full res) starves the MXU's output dimension — measured 13-15 ms at
+    the judged config for 65 GFLOP of useful work. Packing 32 columns
+    into N gives a (3, 34, C, 128) kernel at stride (1, 32): 34/3 ≈ 11x
+    structural-zero FLOPs but ~30x utilization — measured win in
+    BASELINE.md. Output channel order is column-major: (b*G + g) holds
+    column ``32Q+b``, channel g; a plain reshape unpacks it.
+    """
+    three, _, c, g = kp.shape
+    zeros = jnp.zeros((3, c, g), kp.dtype)
+    cols = []
+    for v in range(block + 2):
+        outs = [
+            kp[:, v - b_] if 0 <= v - b_ <= 2 else zeros
+            for b_ in range(block)
+        ]
+        cols.append(jnp.concatenate(outs, axis=-1))  # (3, C, block*G)
+    return jnp.stack(cols, axis=1)  # (3, block+2, C, block*G)
+
+
+def colpack_conv_edge(
+    x: jnp.ndarray, kernel: jnp.ndarray, g: int, block: int = 32
+) -> jnp.ndarray:
+    """EDGE-padded 3x3 conv with tiny Cout=g, computed column-packed.
+
+    x (B, H, W, C) with W % block == 0 → (B, H, W, g), equal to
+    ``conv3x3_edge(x, kp)`` with ``kernel = colpack_conv_kernel(kp)``.
+    """
+    b, h, w, _ = x.shape
+    y = lax.conv_general_dilated(
+        jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge"),
+        kernel,
+        window_strides=(1, block),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, H, W/block, block*g)
+    return y.reshape(b, h, w, g)
+
+
 def strided_skip_conv(x: jnp.ndarray, kernel4: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) → (B, H/2, W/2, 4*Co): reflect-padded 3x3 conv with
     s2d-packed output, computed directly by a stride-2 4x4 conv.
@@ -200,29 +292,78 @@ def collapsed_mono_decoder(
     y1p = jax.nn.elu(y1p + jnp.tile(b11.astype(dtype), 4))
     # (B, H/4, W/4, 4*c1) = packed (H/2, W/2, c1)
 
-    # ---- upconv_0_0: a plain full-res-H/2 conv -> packed conv ---------
+    # ---- u00 → d2s → collapsed u01: fused Pallas chain on TPU ---------
     k00, b00 = p("upconv_0_0")
-    zp = jax.nn.elu(
-        conv3x3_edge(y1p, pack_conv3x3_kernel(k00.astype(dtype)))
-        + jnp.tile(b00.astype(dtype), 4)
-    )  # (B, H/4, W/4, 4*c0) = packed (H/2, W/2, c0)
-
-    # ---- level 0: collapse upconv_0_1 ∘ upsample2x --------------------
-    # Unpack z first: the collapsed conv then runs at (H/2, W/2) with the
-    # ORIGINAL FLOP count; composing with the packing instead (a conv at
-    # H/4) would re-introduce the 4x structural-zero FLOPs.
-    z = depth_to_space(zp)  # (B, H/2, W/2, c0)
     k01, b01 = p("upconv_0_1")
-    y0p = jax.nn.elu(
-        conv3x3_edge(z, collapse_upsample_conv_kernel(k01.astype(dtype)))
-        + jnp.tile(b01.astype(dtype), 4)
-    )  # (B, H/2, W/2, 4*c0) = packed (H, W, c0)
+    use_fused = bool(_USE_FUSED_TAIL)
+    if use_fused:
+        from scenedepthestimation_tpu.ops.pallas import fused_tail
+
+        use_fused = 0 < fused_tail._pick_th(
+            y1p.shape[1], y1p.shape[2], y1p.shape[3], 4 * c0, 16 * c0,
+            jnp.dtype(dtype).itemsize,
+        )
+    if use_fused:
+        y0pp = fused_tail.fused_tail_pallas(
+            y1p,
+            pack_conv3x3_kernel(k00.astype(dtype)),
+            jnp.tile(b00.astype(dtype), 4),
+            pack_conv3x3_kernel(
+                collapse_upsample_conv_kernel(k01.astype(dtype))
+            ),
+            jnp.tile(b01.astype(dtype), 16),
+        )  # (B, H/4, W/4, 16*c0) = DOUBLE-packed u01 output
+        kd, bd = p("dispconv_0")
+        if disp_variant == "fullres":
+            y0 = depth_to_space(depth_to_space(y0pp))  # (B, H, W, c0)
+            d = conv3x3_xla(y0, kd.astype(dtype), bd.astype(dtype), "none")
+            return jax.nn.sigmoid(d.astype(jnp.float32))
+        # dispconv consumed double-packed: pack the (already packed-at-
+        # H/2, edge-bordered) dispconv once more; the border needs the
+        # grouped-edge pad, NOT plain edge (pad_packed_edge docstring).
+        kd2 = pack_conv3x3_kernel(
+            pack_conv3x3_kernel(kd.astype(dtype))
+        )  # (3, 3, 16*c0, 16)
+        dp2 = lax.conv_general_dilated(
+            pad_packed_edge(y0pp),
+            kd2,
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        dp2 = jax.nn.sigmoid(
+            (dp2 + jnp.tile(bd.astype(dtype), 16)).astype(jnp.float32)
+        )  # (B, H/4, W/4, 16) double-packed disparity
+        return depth_to_space(depth_to_space(dp2))  # (B, H, W, 1) fp32
+    else:
+        zp = jax.nn.elu(
+            conv3x3_edge(y1p, pack_conv3x3_kernel(k00.astype(dtype)))
+            + jnp.tile(b00.astype(dtype), 4)
+        )  # (B, H/4, W/4, 4*c0) = packed (H/2, W/2, c0)
+        # Unpack z first: the collapsed conv then runs at (H/2, W/2) with
+        # the ORIGINAL FLOP count; composing with the packing instead (a
+        # conv at H/4) re-introduces 4x structural-zero FLOPs — the XLA
+        # path eats the d2s pass instead, the Pallas path above keeps the
+        # chain in VMEM where the double-packed conv's extra MXU time is
+        # cheaper than the HBM round-trips it removes.
+        z = depth_to_space(zp)  # (B, H/2, W/2, c0)
+        y0p = jax.nn.elu(
+            conv3x3_edge(z, collapse_upsample_conv_kernel(k01.astype(dtype)))
+            + jnp.tile(b01.astype(dtype), 4)
+        )  # (B, H/2, W/2, 4*c0) = packed (H, W, c0)
 
     kd, bd = p("dispconv_0")
     if disp_variant == "fullres":
         y0 = depth_to_space(y0p)  # (B, H, W, c0)
         d = conv3x3_xla(y0, kd.astype(dtype), bd.astype(dtype), "none")
         return jax.nn.sigmoid(d.astype(jnp.float32))
-    dp = conv3x3_edge(y0p, pack_conv3x3_kernel(kd.astype(dtype)))
+    kdp = pack_conv3x3_kernel(kd.astype(dtype))
+    if y0p.shape[2] % 32 == 0:
+        # Column-packed: the Cout=4 head starves the MXU's N dimension
+        # (measured 13-15 ms at the judged config); packing 32 output
+        # columns into channels runs it at full utilization.
+        dp = colpack_conv_edge(y0p, colpack_conv_kernel(kdp), 4)
+    else:
+        dp = conv3x3_edge(y0p, kdp)
     dp = jax.nn.sigmoid((dp + jnp.tile(bd.astype(dtype), 4)).astype(jnp.float32))
     return depth_to_space(dp)  # (B, H, W, 1) fp32

@@ -67,6 +67,20 @@ def test_strided_skip_conv_matches_reflect_conv(cin, cout):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_colpack_conv_matches_edge_conv():
+    """Column-packed conv == conv3x3_edge (tiny-Cout MXU formulation)."""
+    rng = np.random.default_rng(9)
+    block = 8
+    x = jnp.asarray(rng.normal(size=(2, 6, 4 * block, 10)).astype(np.float32))
+    kp = jnp.asarray(rng.normal(size=(3, 3, 10, 4)).astype(np.float32) * 0.1)
+
+    want = collapsed.conv3x3_edge(x, kp)
+    got = collapsed.colpack_conv_edge(
+        x, collapsed.colpack_conv_kernel(kp, block), 4, block
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 @pytest.mark.parametrize("disp_variant", ["packed", "fullres"])
 def test_collapsed_mono_decoder_matches_standard(disp_variant):
     """End-to-end: collapsed decoder == DepthDecoder scale-0, fp32."""
