@@ -24,7 +24,11 @@ from flax import linen as nn
 from scenedepthestimation_tpu.configs import StereoConfig
 from scenedepthestimation_tpu.ops.correlation import correlation1d
 from scenedepthestimation_tpu.ops.soft_argmin import soft_argmin
-from scenedepthestimation_tpu.ops.upsample import upsample2x, upsample_concat
+from scenedepthestimation_tpu.ops.upsample import (
+    upsample2x,
+    upsample4x_bilinear_packed,
+    upsample_concat,
+)
 
 
 class ConvRelu(nn.Module):
@@ -221,9 +225,10 @@ class StereoNet(nn.Module):
                 name="refinement",
             )(f_l, disp_q)
 
-        disp = upsample2x(
-            upsample2x(disp_q[..., None], mode="bilinear"), mode="bilinear"
-        )[..., 0]
+        # Parity-plane form of the x4 bilinear: the naive nested-2x
+        # interleave runs a 1-channel tensor at 1/128 lane utilization
+        # (measured 3.7 ms at config 5 — bench/profile_stereo.py).
+        disp = upsample4x_bilinear_packed(disp_q[..., None])[..., 0]
         if return_aux:
             return disp, aux_full
         return disp

@@ -59,6 +59,63 @@ def _bilinear2x(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+# Composition of two (0.75, 0.25) half-pixel blends: output phase r of a
+# 4x axis upsample is a fixed 3-tap stencil over (x[i-1], x[i], x[i+1]).
+_W4 = (
+    (0.375, 0.625, 0.0),
+    (0.1875, 0.75, 0.0625),
+    (0.0625, 0.75, 0.1875),
+    (0.0, 0.625, 0.375),
+)
+
+
+def upsample4x_bilinear_packed(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact ``upsample2x(upsample2x(x, 'bilinear'), 'bilinear')`` computed
+    as 16 parity-plane stencils at the SOURCE resolution + two
+    depth-to-space unpacks.
+
+    Why: the stereo pipeline upsamples a 1-CHANNEL disparity ×4 — the
+    interleaving stack/reshape form runs at 1/128 lane utilization and
+    measured 3.7 ms at the config-5 shape for trivial math
+    (bench/profile_stereo.py). Here every op runs on 16C channels at the
+    small source grid. Edge clamping matches the composed form exactly
+    (the clamped taps sum into the stencil weights).
+    """
+    from scenedepthestimation_tpu.ops.packed import depth_to_space
+
+    def shifts(t, axis):
+        n = t.shape[axis]
+        lo = jnp.take(t, jnp.maximum(jnp.arange(n) - 1, 0), axis=axis)
+        hi = jnp.take(t, jnp.minimum(jnp.arange(n) + 1, n - 1), axis=axis)
+        return lo, t, hi
+
+    dt = x.dtype
+    lo, mid, hi = shifts(x, 1)
+    rows = [
+        dt.type(wl) * lo + dt.type(wm) * mid + dt.type(wh) * hi
+        for wl, wm, wh in _W4
+    ]
+    cols = []
+    for rp in rows:
+        lo, mid, hi = shifts(rp, 2)
+        cols.append(
+            [
+                dt.type(wl) * lo + dt.type(wm) * mid + dt.type(wh) * hi
+                for wl, wm, wh in _W4
+            ]
+        )
+    # Channel order for two depth_to_space unpacks: outer group
+    # g1 = 2*(r//2) + (s//2), inner group g2 = 2*(r%2) + (s%2).
+    planes = [None] * 16
+    for r in range(4):
+        for s in range(4):
+            g1 = 2 * (r // 2) + (s // 2)
+            g2 = 2 * (r % 2) + (s % 2)
+            planes[g1 * 4 + g2] = cols[r][s]
+    y = jnp.concatenate(planes, axis=-1)  # (B, H, W, 16*C)
+    return depth_to_space(depth_to_space(y))
+
+
 def upsample_concat(
     x: jnp.ndarray, skip: jnp.ndarray, mode: str = "nearest"
 ) -> jnp.ndarray:
