@@ -41,7 +41,7 @@ def _dump_depth(depth, disp, out_prefix: str) -> None:
 def cmd_predict(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import api
 
-    predictor = api.load_weights(args.weights, _resolve_config(args.config), seed=args.seed)
+    predictor = api.load_weights(args.weights, _resolve_config(args.config, args), seed=args.seed)
     if predictor.cfg.pipeline == "stereo":
         if not (args.left and args.right):
             print("stereo config needs --left and --right", file=sys.stderr)
@@ -79,7 +79,7 @@ def cmd_eval(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import evaluate
 
     metrics = evaluate.run_eval(
-        config=_resolve_config(args.config),
+        config=_resolve_config(args.config, args),
         weights=args.weights,
         data_root=args.data_root,
         split=args.split,
@@ -95,7 +95,7 @@ def cmd_predict_batch(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import api
     from scenedepthestimation_tpu.infer import predict_files
 
-    predictor = api.load_weights(args.weights, _resolve_config(args.config), seed=args.seed)
+    predictor = api.load_weights(args.weights, _resolve_config(args.config, args), seed=args.seed)
     stereo = predictor.cfg.pipeline == "stereo"
     with open(args.files) as f:
         entries = [line.split() for line in f if line.strip()]
@@ -265,7 +265,7 @@ def cmd_export(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import api
     from scenedepthestimation_tpu.export import export_predictor
 
-    predictor = api.load_weights(args.weights, _resolve_config(args.config), seed=args.seed)
+    predictor = api.load_weights(args.weights, _resolve_config(args.config, args), seed=args.seed)
     artifact = export_predictor(
         predictor,
         args.out,
@@ -284,7 +284,7 @@ def cmd_bench(args: argparse.Namespace) -> int:
             print(json.dumps(row))
         return 0
     result = benchmark.run_bench(
-        config=_resolve_config(args.config), batch_size=args.batch_size, iters=args.iters
+        config=_resolve_config(args.config, args), batch_size=args.batch_size, iters=args.iters
     )
     print(json.dumps(result))
     return 0
@@ -296,6 +296,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     pp = sub.add_parser("predict", help="predict a depth map")
     pp.add_argument("--config", default="mono_kitti_192x640_fp32")
+    pp.add_argument("--num-layers", type=int, default=None, help="encoder depth: 18, 34 or 50")
     pp.add_argument("--weights", default=None, help="orbax dir or .pth file(s)")
     pp.add_argument("--image", help="input image (mono)")
     pp.add_argument("--left", help="left image (stereo)")
@@ -311,6 +312,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     pe = sub.add_parser("eval", help="run dataset evaluation")
     pe.add_argument("--config", default="mono_eigen_eval")
+    pe.add_argument("--num-layers", type=int, default=None, help="encoder depth: 18, 34 or 50")
     pe.add_argument("--weights", default=None)
     pe.add_argument("--data-root", required=True)
     pe.add_argument("--split", default="eigen")
@@ -396,6 +398,7 @@ def build_parser() -> argparse.ArgumentParser:
         "export", help="serialize a serving artifact (StableHLO, weights baked)"
     )
     px.add_argument("--config", default="mono_kitti_192x640_fp32")
+    px.add_argument("--num-layers", type=int, default=None, help="encoder depth: 18, 34 or 50")
     px.add_argument("--weights", default=None)
     px.add_argument("--out", required=True, help="artifact directory")
     px.add_argument("--batch-size", type=int, default=1)
@@ -412,15 +415,25 @@ class CliError(Exception):
     """User-facing CLI error (bad preset, bad paths) — message, no trace."""
 
 
-def _resolve_config(name_or_cfg):
+def _resolve_config(name_or_cfg, args=None):
+    import dataclasses
+
     from scenedepthestimation_tpu import configs
 
-    if not isinstance(name_or_cfg, str):
-        return name_or_cfg
-    try:
-        return configs.get(name_or_cfg)
-    except KeyError as e:
-        raise CliError(str(e.args[0])) from None
+    if isinstance(name_or_cfg, str):
+        try:
+            cfg = configs.get(name_or_cfg)
+        except KeyError as e:
+            raise CliError(str(e.args[0])) from None
+    else:
+        cfg = name_or_cfg
+    if args is not None and getattr(args, "num_layers", None):
+        if args.num_layers not in (18, 34, 50):
+            raise CliError("--num-layers must be 18, 34 or 50")
+        cfg = dataclasses.replace(
+            cfg, mono=dataclasses.replace(cfg.mono, num_layers=args.num_layers)
+        )
+    return cfg
 
 
 def main(argv=None) -> int:

@@ -52,6 +52,8 @@ def fold_encoder_bn(params, batch_stats, num_layers: int = 18):
                 "conv1": _fold(bp["conv1"], bp["bn1"], bs["bn1"]),
                 "conv2": _fold(bp["conv2"], bp["bn2"], bs["bn2"]),
             }
+            if "conv3" in bp:  # Bottleneck (ResNet-50)
+                blk["conv3"] = _fold(bp["conv3"], bp["bn3"], bs["bn3"])
             if "downsample_conv" in bp:
                 blk["downsample"] = _fold(
                     bp["downsample_conv"], bp["downsample_bn"], bs["downsample_bn"]
@@ -90,8 +92,13 @@ def folded_encoder_apply(
             stride = 2 if (b == 0 and stage > 0) else 1
             blk = folded[f"layer{stage + 1}_{b}"]
             residual = y
-            z = nn.relu(_conv(blk["conv1"], y, stride, 1, dtype))
-            z = _conv(blk["conv2"], z, 1, 1, dtype)
+            if "conv3" in blk:  # Bottleneck: 1x1 → 3x3(stride) → 1x1
+                z = nn.relu(_conv(blk["conv1"], y, 1, 0, dtype))
+                z = nn.relu(_conv(blk["conv2"], z, stride, 1, dtype))
+                z = _conv(blk["conv3"], z, 1, 0, dtype)
+            else:  # BasicBlock
+                z = nn.relu(_conv(blk["conv1"], y, stride, 1, dtype))
+                z = _conv(blk["conv2"], z, 1, 1, dtype)
             if "downsample" in blk:
                 residual = _conv(blk["downsample"], y, stride, 0, dtype)
             y = nn.relu(z + residual)

@@ -1,4 +1,4 @@
-"""Flax ResNet-18/34 encoder (component C6 in SURVEY.md §2).
+"""Flax ResNet-18/34/50 encoder (component C6 in SURVEY.md §2).
 
 Built from scratch in NHWC layout (TPU-native: XLA tiles channels-last
 convs straight onto the MXU). Semantics mirror the torchvision BasicBlock
@@ -18,11 +18,14 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-# Basic-block layer plan per depth.
+# Layer plan per depth; 18/34 use BasicBlock, 50 uses Bottleneck (x4
+# channel expansion — torchvision semantics throughout).
 RESNET_SPECS = {
     18: (2, 2, 2, 2),
     34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
 }
+BOTTLENECK_DEPTHS = (50,)
 
 BN_EPS = 1e-5  # torchvision BatchNorm2d default
 
@@ -86,10 +89,64 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (v1.5: stride on the 3x3):
+    conv1x1-bn-relu → conv3x3(stride)-bn-relu → conv1x1(x4)-bn + shortcut.
+    Module names mirror torchvision keys so the .pth importer's
+    structural mapping (utils/torch_import.py) applies unchanged."""
+
+    channels: int  # bottleneck width; block output is 4x this
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        residual = x
+        y = nn.Conv(
+            self.channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(
+            self.channels,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(y)
+        y = nn.relu(bn("bn2")(y))
+        y = nn.Conv(
+            4 * self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+            name="conv3",
+        )(y)
+        y = bn("bn3")(y)
+        if self.stride != 1 or x.shape[-1] != 4 * self.channels:
+            residual = nn.Conv(
+                4 * self.channels,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
 class ResNetEncoder(nn.Module):
     """5-level feature pyramid encoder (strides /2 /4 /8 /16 /32).
 
-    Channel plan for ResNet-18/34: (64, 64, 128, 256, 512).
+    Channel plan: (64, 64, 128, 256, 512) for ResNet-18/34 (BasicBlock),
+    (64, 256, 512, 1024, 2048) for ResNet-50 (Bottleneck).
     """
 
     num_layers: int = 18
@@ -97,6 +154,8 @@ class ResNetEncoder(nn.Module):
 
     @property
     def num_ch_enc(self) -> Tuple[int, ...]:
+        if self.num_layers in BOTTLENECK_DEPTHS:
+            return (64, 256, 512, 1024, 2048)
         return (64, 64, 128, 256, 512)
 
     @nn.compact
@@ -136,10 +195,13 @@ class ResNetEncoder(nn.Module):
         )
 
         stage_channels = (64, 128, 256, 512)
+        block_cls = (
+            Bottleneck if self.num_layers in BOTTLENECK_DEPTHS else BasicBlock
+        )
         for stage, (ch, n_blocks) in enumerate(zip(stage_channels, blocks)):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                y = BasicBlock(
+                y = block_cls(
                     channels=ch,
                     stride=stride,
                     dtype=self.dtype,

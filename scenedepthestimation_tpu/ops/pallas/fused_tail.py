@@ -52,7 +52,16 @@ def _elu(x):
 
 
 def _conv3x3_acc(tile, w9, dtype):
-    """VALID 3x3 conv over a (R+2, W+2, Cin) tile → (R, W, Cout) fp32."""
+    """VALID 3x3 conv over a (R+2, W+2, Cin) tile → (R, W, Cout) fp32.
+
+    Nine per-tap dots. For Cin < 128 each dot wastes the contraction
+    dimension (the measured half-utilization of stage 2 — BASELINE.md);
+    the im2col fix (concat the nine shifted patches on lanes, contract
+    once at K=9*Cin) was tried and does NOT lower: Mosaic rejects the
+    lane-dim `tpu.concatenate` of shifted sub-lane-phase slices (it
+    compiles in interpret mode only). Kept per-tap; the kernel stays
+    opt-in behind ops/collapsed.set_use_fused_tail.
+    """
     r = tile.shape[0] - 2
     width = tile.shape[1] - 2
     acc = None

@@ -51,24 +51,58 @@ class BasicBlock(nn.Module):
         return F.relu(y + identity)
 
 
+class Bottleneck(nn.Module):
+    """torchvision v1.5 Bottleneck (stride on the 3x3), expansion 4."""
+
+    def __init__(self, cin: int, width: int, stride: int = 1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, 4 * width, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(4 * width)
+        if stride != 1 or cin != 4 * width:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, 4 * width, 1, stride, bias=False),
+                nn.BatchNorm2d(4 * width),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        identity = x
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return F.relu(y + identity)
+
+
 class ResNetEncoder(nn.Module):
     """5-level pyramid: relu(bn(conv1)), layer1..layer4 (strides /2../32)."""
 
     def __init__(self, num_layers: int = 18):
         super().__init__()
-        assert num_layers == 18
+        assert num_layers in (18, 50)
         self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.maxpool = nn.MaxPool2d(3, 2, 1)
         chans = [64, 128, 256, 512]
-        blocks = [2, 2, 2, 2]
+        blocks = [2, 2, 2, 2] if num_layers == 18 else [3, 4, 6, 3]
+        bottleneck = num_layers == 50
         cin = 64
         for i, (c, n) in enumerate(zip(chans, blocks)):
             layers = []
             for b in range(n):
                 stride = 2 if (b == 0 and i > 0) else 1
-                layers.append(BasicBlock(cin, c, stride))
-                cin = c
+                if bottleneck:
+                    layers.append(Bottleneck(cin, c, stride))
+                    cin = 4 * c
+                else:
+                    layers.append(BasicBlock(cin, c, stride))
+                    cin = c
             setattr(self, f"layer{i + 1}", nn.Sequential(*layers))
 
     def forward(self, x):
