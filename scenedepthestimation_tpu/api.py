@@ -146,11 +146,47 @@ def build_stereo_program(cfg: RunConfig, model: StereoNet):
     """Un-jitted end-to-end stereo program (SURVEY §3.2)."""
     net_hw = (cfg.stereo.height, cfg.stereo.width)
     dtype = _compute_dtype(cfg)
+    # Collapsed/packed aggregation (ops/collapsed.py): exact inference
+    # rewrite; the refine path keeps the module (aux heads).
+    use_packed_agg = cfg.stereo.packed_agg and not cfg.stereo.refine
+
+    def forward(variables, xl, xr):
+        if not use_packed_agg:
+            return model.apply(variables, xl, xr)
+        from scenedepthestimation_tpu.models.stereo import FeatureTower
+        from scenedepthestimation_tpu.ops.collapsed import (
+            collapsed_cost_aggregation,
+        )
+        from scenedepthestimation_tpu.ops.correlation import correlation1d
+        from scenedepthestimation_tpu.ops.soft_argmin import soft_argmin
+        from scenedepthestimation_tpu.ops.upsample import (
+            upsample4x_bilinear_packed,
+        )
+
+        s = cfg.stereo
+        b, h, w, c_in = xl.shape
+        # Shard-local pair interleave — mirrors StereoNet.__call__.
+        pair = jnp.stack([xl, xr], axis=1).reshape(2 * b, h, w, c_in)
+        feats = FeatureTower(
+            channels=s.feat_channels, dtype=dtype, name="tower"
+        ).apply({"params": variables["params"]["tower"]}, pair)
+        feats = feats.reshape(b, 2, *feats.shape[1:])
+        f_l, f_r = feats[:, 0], feats[:, 1]
+        cost = correlation1d(f_l, f_r, s.corr_disp)
+        agg_in = jnp.concatenate([cost.astype(dtype), f_l], axis=-1)
+        refined = collapsed_cost_aggregation(
+            variables["params"]["aggregation"], agg_in, dtype=dtype
+        )
+        q = soft_argmin(
+            refined.astype(jnp.float32),
+            temperature=s.softargmin_temperature,
+        ) * float(s.feat_stride)
+        return upsample4x_bilinear_packed(q[..., None])[..., 0]
 
     def program(variables, left, right):
         xl = preprocess(left, net_hw, cfg.pre, compute_dtype=dtype)
         xr = preprocess(right, net_hw, cfg.pre, compute_dtype=dtype)
-        disp = model.apply(variables, xl, xr)  # (B, h, w) px @ net res
+        disp = forward(variables, xl, xr)  # (B, h, w) px @ net res
         disp = disp.astype(jnp.float32)
         src_hw = left.shape[-3:-1]
         if tuple(src_hw) != net_hw:

@@ -86,6 +86,14 @@ class StereoConfig:
     # readout — a mitigation for the high-LR uniform-softmax collapse
     # (BASELINE.md round-1 training note). 1.0 = GC-Net convention.
     softargmin_temperature: float = 1.0
+    # Collapsed/packed inference execution of the aggregation U-Net
+    # (ops/collapsed.collapsed_cost_aggregation): exact rewrite, zero
+    # extra pad copies. Inference programs only; ignored with ``refine``
+    # (aux heads need the module path). Default ON by measurement
+    # (BASELINE.md): config-5 shape 343.9 → 716.9 fps/chip at b16
+    # (+108%); neutral at b64 (1000 vs 1040) where large batch already
+    # amortizes the module path's overheads.
+    packed_agg: bool = True
 
     @property
     def corr_disp(self) -> int:

@@ -239,6 +239,79 @@ def strided_skip_conv(x: jnp.ndarray, kernel4: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def collapsed_cost_aggregation(
+    params, x: jnp.ndarray, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Inference-layout rewrite of models/stereo.CostAggregation: the
+    three decoder levels run collapsed (upsample folded into the conv,
+    skip via the stride-2 4x4 form) and the cost head packed.
+
+    ZERO borders throughout (ConvRelu pads with zeros, unlike the mono
+    decoder's reflect) — which makes every border exact under plain
+    zero padding in the packed/collapsed forms, so all pads fold into
+    the conv ops and no pad copy is ever materialized.
+
+    ``params`` is the CostAggregation param tree; aux_heads (refine
+    training mode) are not supported — callers keep the module path
+    there. Returns the (B, H4, W4, D) cost logits, equal to
+    ``CostAggregation(...)(x)`` up to reassociation error
+    (tests/test_collapsed.py pins it).
+    """
+
+    def p(name):
+        # ConvRelu nests its nn.Conv under "conv"; cost_head is a bare
+        # nn.Conv.
+        q = params[name].get("conv", params[name])
+        return q["kernel"].astype(dtype), q["bias"].astype(dtype)
+
+    def cr(t, name, stride=1):  # ConvRelu: zero-pad conv3x3 + relu
+        k, b = p(name)
+        y = lax.conv_general_dilated(
+            t, k, (stride, stride), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jax.nn.relu(y + b)
+
+    x = x.astype(dtype)
+    e0 = cr(x, "enc0")
+    e1 = cr(cr(e0, "enc1", 2), "enc1b")
+    e2 = cr(cr(e1, "enc2", 2), "enc2b")
+    e3 = cr(cr(e2, "enc3", 2), "enc3b")
+
+    def dec(t, skip, name):
+        k, b = p(name)
+        ct = t.shape[-1]
+        y = lax.conv_general_dilated(
+            t,
+            collapse_upsample_conv_kernel(k[:, :, :ct, :]),
+            (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + lax.conv_general_dilated(
+            skip,
+            strided_skip_conv_kernel(k[:, :, ct:, :]),
+            (2, 2),
+            ((1, 2), (1, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jax.nn.relu(y + jnp.tile(b, 4))  # packed output
+
+    d2 = depth_to_space(dec(e3, e2, "dec2"))
+    d1 = depth_to_space(dec(d2, e1, "dec1"))
+    d0p = dec(d1, e0, "dec0")  # packed (B, H4/2, W4/2, 4*c0)
+
+    kh, bh = p("cost_head")
+    cost_p = lax.conv_general_dilated(
+        d0p,
+        pack_conv3x3_kernel(kh),
+        (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.tile(bh, 4)
+    return depth_to_space(cost_p)  # (B, H4, W4, D)
+
+
 def collapsed_mono_decoder(
     dec_params,
     features,

@@ -81,6 +81,55 @@ def test_colpack_conv_matches_edge_conv():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_stereo_program_packed_agg_matches_module():
+    """build_stereo_program with packed_agg == the module path."""
+    import dataclasses
+
+    from scenedepthestimation_tpu import api, configs
+
+    base = configs.get("stereo_256x512_b4")
+    base = dataclasses.replace(
+        base,
+        stereo=dataclasses.replace(
+            base.stereo, height=64, width=128, max_disp=32, feat_channels=16
+        ),
+    )
+    rng = np.random.default_rng(12)
+    left = rng.integers(0, 256, (1, 64, 128, 3), dtype=np.uint8)
+    right = rng.integers(0, 256, (1, 64, 128, 3), dtype=np.uint8)
+
+    outs = {}
+    for packed in (False, True):
+        cfg = dataclasses.replace(
+            base, stereo=dataclasses.replace(base.stereo, packed_agg=packed)
+        )
+        predictor = api.load_weights(None, cfg, seed=0)
+        program = api.build_stereo_program(cfg, predictor.model)
+        outs[packed] = np.asarray(
+            program(predictor.variables, jnp.asarray(left), jnp.asarray(right))[
+                "disp"
+            ]
+        )
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-4)
+
+
+def test_collapsed_cost_aggregation_matches_module():
+    """Stereo agg U-Net: collapsed/packed inference rewrite == module."""
+    from scenedepthestimation_tpu.models.stereo import CostAggregation
+
+    agg = CostAggregation(out_disp=6, channels=(8, 12, 16, 20))
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(2, 16, 24, 14)).astype(np.float32)
+    )
+    variables = agg.init(jax.random.PRNGKey(2), x)
+    want = np.asarray(agg.apply(variables, x))
+    got = np.asarray(
+        collapsed.collapsed_cost_aggregation(variables["params"], x)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 @pytest.mark.parametrize("disp_variant", ["packed", "fullres"])
 def test_collapsed_mono_decoder_matches_standard(disp_variant):
     """End-to-end: collapsed decoder == DepthDecoder scale-0, fp32."""
