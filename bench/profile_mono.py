@@ -87,14 +87,6 @@ def main():
                       "batch_stats": variables["batch_stats"]["encoder"]}
     )
 
-    @jax.jit
-    def t_enc(enc_vars, x, n):
-        def body(i, acc):
-            feats = enc.apply(enc_vars, x + x.dtype.type(0) * i)
-            return acc + feats[-1].mean().astype(jnp.float32)
-
-        return lax.fori_loop(0, n, body, jnp.float32(0.0))
-
     # keep each iteration live: perturb input by i (cheap add)
     @jax.jit
     def t_enc2(enc_vars, x, n):
@@ -111,16 +103,6 @@ def main():
     # --- decoder (truncated at each level) -------------------------------
     feats = enc.apply(enc_vars, x0)
     feats = [jnp.asarray(f) for f in feats]
-
-    class TruncDecoder(DepthDecoder):
-        stop_i: int = 0  # run levels 4..stop_i
-
-        def setup(self):
-            pass
-
-        @property
-        def _dummy(self):
-            return None
 
     # Build truncated decoders as fresh modules (fresh params are fine for
     # timing; arithmetic is weight-independent).

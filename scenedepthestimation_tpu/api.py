@@ -147,8 +147,15 @@ def build_stereo_program(cfg: RunConfig, model: StereoNet):
     net_hw = (cfg.stereo.height, cfg.stereo.width)
     dtype = _compute_dtype(cfg)
     # Collapsed/packed aggregation (ops/collapsed.py): exact inference
-    # rewrite; the refine path keeps the module (aux heads).
-    use_packed_agg = cfg.stereo.packed_agg and not cfg.stereo.refine
+    # rewrite; the refine path keeps the module (aux heads), and the
+    # rewrite needs the /4-feature grid divisible by 8 (three stride-2
+    # encoder levels + even dims at every collapsed decoder level).
+    use_packed_agg = (
+        cfg.stereo.packed_agg
+        and not cfg.stereo.refine
+        and (cfg.stereo.height // cfg.stereo.feat_stride) % 8 == 0
+        and (cfg.stereo.width // cfg.stereo.feat_stride) % 8 == 0
+    )
 
     def forward(variables, xl, xr):
         if not use_packed_agg:
@@ -287,6 +294,26 @@ def load_weights(
     """
     cfg = configs.get(config) if isinstance(config, str) else config
     dtype = _compute_dtype(cfg)
+
+    variables = None
+    if path is not None:
+        variables = checkpoint.load_variables(path, pipeline=cfg.pipeline)
+        variables = jax.tree.map(jnp.asarray, variables)
+        if (
+            cfg.pipeline == "stereo"
+            and not cfg.stereo.refine
+            and "refinement" in variables.get("params", {})
+        ):
+            # A refine-trained checkpoint served with refine=False would
+            # silently drop its refinement head (flax ignores extra
+            # params) and return the coarse aux readout — auto-enable
+            # instead (r2 review finding).
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, stereo=dataclasses.replace(cfg.stereo, refine=True)
+            )
+
     if cfg.pipeline == "mono":
         model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
         dummy_args = (jnp.zeros((1, cfg.mono.height, cfg.mono.width, 3), dtype),)
@@ -295,11 +322,8 @@ def load_weights(
         z = jnp.zeros((1, cfg.stereo.height, cfg.stereo.width, 3), dtype)
         dummy_args = (z, z)
 
-    if path is None:
+    if variables is None:
         variables = model.init(jax.random.PRNGKey(seed), *dummy_args)
-    else:
-        variables = checkpoint.load_variables(path, pipeline=cfg.pipeline)
-        variables = jax.tree.map(jnp.asarray, variables)
     return Predictor(cfg, variables)
 
 

@@ -430,6 +430,10 @@ def _resolve_config(name_or_cfg, args=None):
     if args is not None and getattr(args, "num_layers", None):
         if args.num_layers not in (18, 34, 50):
             raise CliError("--num-layers must be 18, 34 or 50")
+        if cfg.pipeline != "mono":
+            # Silently rewriting cfg.mono on a stereo run would let the
+            # user believe they selected a deeper encoder.
+            raise CliError("--num-layers applies to mono configs only")
         cfg = dataclasses.replace(
             cfg, mono=dataclasses.replace(cfg.mono, num_layers=args.num_layers)
         )

@@ -213,15 +213,12 @@ STEREO_KITTI2015_B16_BF16_V5E8 = RunConfig(
     stereo=StereoConfig(height=384, width=1152),
 )
 
-# Benchmark config: the judged metric is KITTI frames/sec/chip at 384x1152
-# (BASELINE.json:2) — monocular flagship shape. b128 measured fastest on
-# v5e-1 (262 fps @ b8 → 1113 fps @ b128; decoder's small-channel convs
-# are data-movement-bound, batch amortizes them — BASELINE.md log).
 # Opt-in high-throughput stereo variant (VERDICT r1 next-#4): the C=64
 # feature tower fills only half of the 128 VPU lanes in the correlation
 # kernel (BASELINE.md correlation tuning note); C=128 fills them. This is
 # an ARCHITECTURE change (more params — not reference-checkpoint
-# compatible), hence a separate preset, never a default.
+# compatible), hence a separate preset, never a default. Measured r2:
+# 329.8 vs 343.9 fps — the lane fill loses to the 4x tower FLOPs.
 STEREO_KITTI2015_B16_BF16_V5E8_C128 = RunConfig(
     name="stereo_kitti2015_b16_bf16_v5e8_c128",
     pipeline="stereo",
@@ -231,6 +228,10 @@ STEREO_KITTI2015_B16_BF16_V5E8_C128 = RunConfig(
     stereo=StereoConfig(height=384, width=1152, feat_channels=128),
 )
 
+# Benchmark config: the judged metric is KITTI frames/sec/chip at 384x1152
+# (BASELINE.json:2) — monocular flagship shape. b128 measured fastest on
+# v5e-1 (262 fps @ b8 → 1113 fps @ b128 round 1; decoder's small-channel
+# convs are data-movement-bound, batch amortizes them — BASELINE.md log).
 MONO_KITTI_384x1152_BENCH = RunConfig(
     name="mono_kitti_384x1152_bench",
     pipeline="mono",

@@ -158,6 +158,11 @@ def eval_stereo_dataset(
         for i in range(batch["n_real"]):
             if max_items is not None and count >= max_items:
                 break
+            if not np.any(batch["valid"][i]):
+                # No valid GT pixels: disparity_errors returns degenerate
+                # zeros — skip rather than dilute the mean (same rule as
+                # eval_mono_dataset's n_valid skip; r2 review finding).
+                continue
             m = metric_fn(batch["gt_disp"][i].shape)(
                 jnp.asarray(disp[i]),
                 jnp.asarray(batch["gt_disp"][i]),

@@ -44,11 +44,16 @@ def soft_argmin(
     D/2 expectation. τ = 1.0 is the GC-Net default (reference parity).
     """
     use = _USE_PALLAS if use_pallas is None else use_pallas
-    if use and temperature == 1.0:
+    if use:
         from scenedepthestimation_tpu.ops.pallas.soft_argmin import (
             soft_argmin_pallas,
         )
 
+        if temperature != 1.0:
+            # softmax(-cost/τ) ≡ softmax(-(cost/τ)): pre-scaling keeps
+            # the kernel path exact for any temperature (it previously
+            # silently fell back to jnp; r2 review finding).
+            cost = cost / jnp.asarray(temperature, cost.dtype)
         return soft_argmin_pallas(cost)
     return _soft_argmin_jnp(cost, temperature)
 

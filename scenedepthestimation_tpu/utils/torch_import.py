@@ -43,6 +43,9 @@ _MD2_DECODER_ORDER = tuple(
 
 def _canonical_path(parts: list) -> list:
     """Apply torchvision→flax module-name rewrites."""
+    # DataParallel-saved checkpoints prefix every key with ``module.``.
+    if parts and parts[0] == "module":
+        parts = parts[1:]
     out = []
     i = 0
     while i < len(parts):
@@ -103,7 +106,12 @@ def convert_state_dict(
         pname = parts[-1]
         module = ".".join(parts[:-1])
         path = _canonical_path(parts[:-1])
-        if prefix:
+        if prefix and path[:1] != [prefix]:
+            # monodepth2's ResnetEncoder wraps torchvision as
+            # ``self.encoder``, so a real encoder.pth already carries the
+            # ``encoder.`` component — only add the nesting prefix when
+            # the keys don't carry it themselves (double-nesting broke
+            # genuine reference checkpoint dirs; r2 review finding).
             path = [prefix] + path
 
         if pname == "num_batches_tracked":

@@ -97,3 +97,32 @@ def test_warmup_schedule():
     assert float(sched(101)) == pytest.approx(1e-3, rel=1e-3)
     no_warmup = train.make_lr_schedule(1e-3)
     assert float(no_warmup(0)) == pytest.approx(1e-3)
+
+
+def test_load_weights_autodetects_refine_checkpoint(tmp_path):
+    """A refine-trained checkpoint loaded with a refine=False config must
+    auto-enable refinement (flax would otherwise silently drop the head
+    and serve the coarse readout; r2 review finding)."""
+    import dataclasses
+
+    from scenedepthestimation_tpu import api, configs
+    from scenedepthestimation_tpu.utils import checkpoint
+
+    refined_cfg = dataclasses.replace(CFG, refine=True)
+    model = StereoNet(cfg=refined_cfg)
+    z = jnp.zeros((1, CFG.height, CFG.width, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), z, z)
+    assert "refinement" in variables["params"]
+    checkpoint.save_variables(str(tmp_path / "ckpt"), variables)
+
+    base = dataclasses.replace(
+        configs.get("stereo_256x512_b4"),
+        stereo=CFG,  # refine=False
+    )
+    predictor = api.load_weights(str(tmp_path / "ckpt"), base)
+    assert predictor.cfg.stereo.refine is True
+    out = predictor.stereo_forward(
+        jnp.zeros((1, CFG.height, CFG.width, 3), jnp.uint8),
+        jnp.zeros((1, CFG.height, CFG.width, 3), jnp.uint8),
+    )
+    assert np.asarray(out["disp"]).shape == (1, CFG.height, CFG.width)

@@ -108,6 +108,36 @@ def test_md2_checkpoint_dir_through_api(tmp_path):
     np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=2e-6)
 
 
+def test_md2_wrapped_encoder_keys(tmp_path):
+    """REAL monodepth2 encoder.pth keys are ``encoder.conv1.weight`` —
+    its ResnetEncoder wraps torchvision as ``self.encoder`` — so the
+    directory loader must not double-nest (r2 review finding). Also
+    covers the DataParallel ``module.`` prefix."""
+    torch.manual_seed(7)
+    tmodel = torch_ref.MonoDepthNet().eval()
+    enc_state = {
+        f"encoder.{k}": v for k, v in tmodel.encoder.state_dict().items()
+    }
+    enc_state["height"] = 64
+    enc_state["width"] = 128
+    enc_state["use_stereo"] = False
+    torch.save(enc_state, str(tmp_path / "encoder.pth"))
+    torch.save(
+        {
+            f"module.{k}": v
+            for k, v in _as_md2_modulelist(tmodel.decoder.state_dict()).items()
+        },
+        str(tmp_path / "depth.pth"),
+    )
+
+    predictor = load_weights(str(tmp_path), TINY)
+    x = np.random.default_rng(8).normal(size=(1, 64, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))[0].numpy()
+    got = np.asarray(predictor.model.apply(predictor.variables, jnp.asarray(x))[0])
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=2e-6)
+
+
 def test_torchvision_imagenet_layout_roundtrip(tmp_path):
     """ImageNet-init workflow proof (SURVEY C6): a state dict with the
     exact torchvision resnet18 key set — including the ``fc`` head our
