@@ -160,16 +160,22 @@ def cmd_train(args: argparse.Namespace) -> int:
         from scenedepthestimation_tpu.data.kitti2015 import Kitti2015Dataset
 
         ds = Kitti2015Dataset(root=args.data_root)
+        crop = getattr(args, "crop", False)
+        aug = getattr(args, "augment", False) or crop  # crop rides the aug path
         if args.mode == "stereo-supervised":
             batches = train_feed.stereo_train_batches(
                 ds, net_hw, cfg.batch_size, seed=args.seed
             )
-            step_fn = train.make_stereo_train_step(cfg)
+            step_fn = train.make_stereo_train_step(cfg, augment=aug, crop=crop)
         else:
             batches = train_feed.stereo_selfsup_batches(
                 ds, net_hw, cfg.batch_size, seed=args.seed
             )
-            step_fn = train.make_stereo_selfsup_train_step(cfg)
+            step_fn = train.make_stereo_selfsup_train_step(
+                cfg, augment=aug, crop=crop
+            )
+        if aug:
+            batches = _with_aug_rng(batches, args.seed)
         state = train.make_train_state(
             cfg,
             seed=args.seed,
@@ -236,6 +242,18 @@ def cmd_train(args: argparse.Namespace) -> int:
         _save_train_state(state, f"{args.save}/final")
         print(json.dumps({"saved": f"{args.save}/final"}))
     return 0
+
+
+def _with_aug_rng(batches, seed: int):
+    """Attach a per-step augmentation PRNG key ('rng') to each batch —
+    the jit signature stays fixed (same key shape every step)."""
+    import jax
+
+    base = jax.random.PRNGKey(seed + 0x5EED)
+    for i, batch in enumerate(batches):
+        out = dict(batch)
+        out["rng"] = jax.random.fold_in(base, i)
+        yield out
 
 
 def _save_train_state(state, path: str) -> None:
@@ -376,6 +394,18 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=0,
         help="linear LR warmup steps (mitigates the high-LR soft-argmin collapse)",
+    )
+    pt.add_argument(
+        "--augment",
+        action="store_true",
+        help="stereo: on-device pair-consistent aug (flip where "
+        "label-preserving + shared color jitter; ops/augment.augment_stereo)",
+    )
+    pt.add_argument(
+        "--crop",
+        action="store_true",
+        help="stereo: random-crop larger-than-net batches to net res "
+        "(exact for disparity; implies --augment semantics for geometry)",
     )
     pt.add_argument(
         "--refine",

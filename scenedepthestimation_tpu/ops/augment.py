@@ -11,7 +11,7 @@ Conventions of the monodepth2 lineage (UNVERIFIED vs reference):
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,46 @@ def _rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(img * w, axis=-1, keepdims=True)
 
 
+def _jitter_factors(
+    key: jax.Array,
+    b: int,
+    dtype,
+    brightness: float,
+    contrast: float,
+    saturation: float,
+    hue: float,
+) -> Dict[str, jnp.ndarray]:
+    """Draw one set of per-example jitter factors (B, 1, 1, 1)."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+
+    def factors(k, x):
+        return jax.random.uniform(
+            k, (b, 1, 1, 1), minval=1.0 - x, maxval=1.0 + x
+        ).astype(dtype)
+
+    return {
+        "brightness": factors(kb, brightness),
+        "contrast": factors(kc, contrast),
+        "saturation": factors(ks, saturation),
+        "hue": jax.random.uniform(
+            kh, (b, 1, 1, 1), minval=-hue, maxval=hue
+        ).astype(dtype),
+    }
+
+
+def _apply_jitter(img: jnp.ndarray, f: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Apply drawn factors to one view (statistics are the view's own)."""
+    out = img * f["brightness"]
+    mean = jnp.mean(out, axis=(1, 2, 3), keepdims=True)
+    out = (out - mean) * f["contrast"] + mean
+    gray = _rgb_to_gray(out)
+    out = (out - gray) * f["saturation"] + gray
+    h = f["hue"]
+    rolled = jnp.roll(out, 1, axis=-1)
+    out = out * (1.0 - jnp.abs(h)) + rolled * jnp.abs(h)
+    return jnp.clip(out, 0.0, 1.0)
+
+
 def color_jitter(
     key: jax.Array,
     img: jnp.ndarray,
@@ -64,25 +104,124 @@ def color_jitter(
     the channel-mix approximation is visually equivalent and stays a
     pure matmul — UNVERIFIED vs reference).
     """
-    b = img.shape[0]
-    kb, kc, ks, kh = jax.random.split(key, 4)
-
-    def factors(k, x):
-        return jax.random.uniform(
-            k, (b, 1, 1, 1), minval=1.0 - x, maxval=1.0 + x
-        ).astype(img.dtype)
-
-    out = img * factors(kb, brightness)
-    mean = jnp.mean(out, axis=(1, 2, 3), keepdims=True)
-    out = (out - mean) * factors(kc, contrast) + mean
-    gray = _rgb_to_gray(out)
-    out = (out - gray) * factors(ks, saturation) + gray
-    h = jax.random.uniform(kh, (b, 1, 1, 1), minval=-hue, maxval=hue).astype(
-        img.dtype
+    f = _jitter_factors(
+        key, img.shape[0], img.dtype, brightness, contrast, saturation, hue
     )
-    rolled = jnp.roll(out, 1, axis=-1)
-    out = out * (1.0 - jnp.abs(h)) + rolled * jnp.abs(h)
-    return jnp.clip(out, 0.0, 1.0)
+    return _apply_jitter(img, f)
+
+
+def color_jitter_pair(
+    key: jax.Array,
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    brightness: float = 0.2,
+    contrast: float = 0.2,
+    saturation: float = 0.2,
+    hue: float = 0.05,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared color jitter for a stereo pair: ONE factor draw applied to
+    both views (each view keeps its own mean/gray statistics, the
+    torchvision ``Compose``-on-both-views convention) — asymmetric
+    photometry between the views would be a spurious matching cue for
+    the correlation layer."""
+    f = _jitter_factors(
+        key, left.shape[0], left.dtype, brightness, contrast, saturation, hue
+    )
+    return _apply_jitter(left, f), _apply_jitter(right, f)
+
+
+def random_crop_multi(
+    key: jax.Array,
+    tensors: Dict[str, jnp.ndarray],
+    crop_hw: Tuple[int, int],
+) -> Dict[str, jnp.ndarray]:
+    """Pair-consistent random crop: ONE (y0, x0) per example applied to
+    every tensor (all share leading (B, H, W); trailing dims free).
+
+    Disparity is crop-invariant — both views shift by the same offset,
+    so pixel disparity values are unchanged (unlike resize, which would
+    rescale them by the width ratio). jit-friendly: static crop size,
+    per-example dynamic offsets via vmapped ``lax.dynamic_slice``.
+    """
+    ch, cw = crop_hw
+    first = next(iter(tensors.values()))
+    b, h, w = first.shape[:3]
+    if (ch, cw) == (h, w):
+        return dict(tensors)
+    ky, kx = jax.random.split(key)
+    y0 = jax.random.randint(ky, (b,), 0, h - ch + 1)
+    x0 = jax.random.randint(kx, (b,), 0, w - cw + 1)
+
+    def crop_one(t, y, x):
+        start = (y, x) + (0,) * (t.ndim - 2)
+        size = (ch, cw) + t.shape[2:]
+        return jax.lax.dynamic_slice(t, start, size)
+
+    return {
+        name: jax.vmap(crop_one, in_axes=(0, 0, 0))(t, y0, x0)
+        for name, t in tensors.items()
+    }
+
+
+def augment_stereo(
+    key: jax.Array,
+    batch: Dict[str, jnp.ndarray],
+    crop_hw: Optional[Tuple[int, int]] = None,
+    hflip_p: float = 0.5,
+    jitter_p: float = 1.0,
+) -> Dict[str, jnp.ndarray]:
+    """Pair-consistent stereo train augmentation (SURVEY C2 "train-time
+    aug"; VERDICT r2 next-#5). Batch values: 'left'/'right' float [0,1]
+    (B,H,W,3); optional 'gt_disp' (B,H,W) px, 'valid' (B,H,W),
+    'gt_disp_right'/'valid_right' (right-VIEW GT, if the dataset has it).
+
+    Order: geometric (flip, crop) first — applied to images AND GT —
+    then photometric jitter on the network inputs only. The returned
+    dict adds 'left_clean'/'right_clean': the post-geometric,
+    pre-jitter views, for photometric-loss targets (jittering the
+    reconstruction target would corrupt the self-sup objective).
+
+    hflip semantics: a horizontal flip of both views is only a valid
+    rectified pair after ALSO swapping them (``random_hflip_pair``), and
+    the new left view's GT disparity is the flipped RIGHT-view GT. So
+    with 'gt_disp' present but no 'gt_disp_right', the flip is DISABLED
+    (label-preserving flips are impossible with left-only GT — the
+    standard reason the PSMNet-lineage trains stereo without hflip);
+    self-supervised batches (no GT) always flip.
+    """
+    kf, kc, kj, kp = jax.random.split(key, 4)
+    left, right = batch["left"], batch["right"]
+    out = dict(batch)
+
+    has_gt = "gt_disp" in batch
+    can_flip = (not has_gt) or ("gt_disp_right" in batch)
+    if can_flip and hflip_p > 0.0:
+        left, right, flipped = random_hflip_pair(kf, left, right, hflip_p)
+        if has_gt:
+            f3 = flipped[:, None, None]
+            out["gt_disp"] = jnp.where(
+                f3, batch["gt_disp_right"][:, :, ::-1], batch["gt_disp"]
+            )
+            if "valid" in batch:
+                vr = batch.get("valid_right", batch["valid"])
+                out["valid"] = jnp.where(f3, vr[:, :, ::-1], batch["valid"])
+
+    if crop_hw is not None:
+        geo = {"left": left, "right": right}
+        for k in ("gt_disp", "valid"):
+            if k in out:
+                geo[k] = out[k]
+        geo = random_crop_multi(kc, geo, crop_hw)
+        left, right = geo.pop("left"), geo.pop("right")
+        out.update(geo)
+
+    out["left_clean"], out["right_clean"] = left, right
+    do_jitter = jax.random.bernoulli(kp, jitter_p, (left.shape[0],))
+    jl, jr = color_jitter_pair(kj, left, right)
+    m = do_jitter[:, None, None, None]
+    out["left"] = jnp.where(m, jl, left)
+    out["right"] = jnp.where(m, jr, right)
+    return out
 
 
 def augment_mono(

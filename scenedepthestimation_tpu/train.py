@@ -178,17 +178,45 @@ def _to01_at(img, net_hw):
     return x
 
 
-def make_stereo_train_step(cfg: RunConfig):
+def _augment_stereo_batch(batch, net_hw, crop):
+    """Shared augmentation front-end for the stereo steps (SURVEY C2;
+    VERDICT r2 next-#5): on-device pair-consistent flip(+view-swap where
+    label-preserving) / crop-to-net-res / shared color jitter. The batch
+    must carry an 'rng' key. Returns the batch with 'left'/'right'
+    replaced by augmented float [0,1] views (+ '*_clean' photometric
+    targets and geometrically-consistent GT)."""
+    from scenedepthestimation_tpu.ops.augment import augment_stereo
+    from scenedepthestimation_tpu.ops.preprocess import to_float
+
+    aug_in = {"left": to_float(batch["left"]), "right": to_float(batch["right"])}
+    for k in ("gt_disp", "valid", "gt_disp_right", "valid_right"):
+        if k in batch:
+            aug_in[k] = batch[k]
+    aug = augment_stereo(
+        batch["rng"], aug_in, crop_hw=tuple(net_hw) if crop else None
+    )
+    return {**batch, **aug}
+
+
+def make_stereo_train_step(cfg: RunConfig, augment: bool = False, crop: bool = False):
     """Supervised stereo step: batch = {'left','right' uint8 BHW3,
     'gt_disp' float BHW px, 'valid' bool BHW}.
 
     With ``cfg.stereo.refine`` the loss additionally supervises the
     pre-refinement and intermediate-scale readouts (weights 1/2^k,
-    DispNetC-lineage multi-scale supervision — VERDICT r1 next-#3)."""
+    DispNetC-lineage multi-scale supervision — VERDICT r1 next-#3).
+
+    ``augment=True`` applies :func:`ops.augment.augment_stereo` on
+    device (batch must carry 'rng'); ``crop=True`` additionally crops
+    larger-than-net-res batches to net resolution with a shared random
+    offset (exact for disparity, unlike the resize fallback). With
+    left-only GT the flip stays off (see augment_stereo docstring)."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     net_hw = (cfg.stereo.height, cfg.stereo.width)
 
     def loss_fn(params, batch):
+        if augment:
+            batch = _augment_stereo_batch(batch, net_hw, crop)
         xl = preprocess(batch["left"], net_hw, cfg.pre, compute_dtype=dtype)
         xr = preprocess(batch["right"], net_hw, cfg.pre, compute_dtype=dtype)
         model = StereoNet(cfg=cfg.stereo, dtype=dtype)
@@ -216,19 +244,29 @@ def make_stereo_train_step(cfg: RunConfig):
     return train_step
 
 
-def make_stereo_selfsup_train_step(cfg: RunConfig):
-    """Self-supervised stereo step (no GT): batch = {'left','right'}."""
+def make_stereo_selfsup_train_step(
+    cfg: RunConfig, augment: bool = False, crop: bool = False
+):
+    """Self-supervised stereo step (no GT): batch = {'left','right'}.
+
+    ``augment``/``crop`` as in :func:`make_stereo_train_step`; with no GT
+    the pair-consistent hflip-with-view-swap is active, and the
+    photometric targets are the '*_clean' (pre-jitter) views so the
+    reconstruction objective stays un-corrupted."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     net_hw = (cfg.stereo.height, cfg.stereo.width)
 
     def loss_fn(params, batch):
+        if augment:
+            batch = _augment_stereo_batch(batch, net_hw, crop)
         xl = preprocess(batch["left"], net_hw, cfg.pre, compute_dtype=dtype)
         xr = preprocess(batch["right"], net_hw, cfg.pre, compute_dtype=dtype)
         model = StereoNet(cfg=cfg.stereo, dtype=dtype)
         disp = model.apply({"params": params}, xl, xr).astype(jnp.float32)
-        # Photometric target in [0,1] intensity space.
-        l01 = _to01_at(batch["left"], net_hw)
-        r01 = _to01_at(batch["right"], net_hw)
+        # Photometric target in [0,1] intensity space (pre-jitter views
+        # when augmenting).
+        l01 = _to01_at(batch.get("left_clean", batch["left"]), net_hw)
+        r01 = _to01_at(batch.get("right_clean", batch["right"]), net_hw)
         return losses.stereo_selfsup_loss(disp, l01, r01)
 
     @jax.jit

@@ -133,3 +133,45 @@ def test_mono_train_step_with_augmentation():
     step = train.make_mono_train_step(TINY_MONO, augment=True)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_stereo_train_step_with_augmentation_grad_flow():
+    """VERDICT r2 next-#5: augmented supervised stereo step — gradients
+    must flow through the crop/jitter front-end to ALL params."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    gt = rng.uniform(1.0, 14.0, (2, 48, 80)).astype(np.float32)
+    batch = {
+        "left": rng.integers(0, 256, (2, 48, 80, 3), dtype=np.uint8),
+        "right": rng.integers(0, 256, (2, 48, 80, 3), dtype=np.uint8),
+        "gt_disp": gt,
+        "valid": np.ones_like(gt, bool),
+        "rng": jax.random.PRNGKey(0),
+    }
+    state = train.make_train_state(TINY_STEREO, seed=0, learning_rate=1e-3)
+    before = jax.tree_util.tree_leaves(state.params)
+    step = train.make_stereo_train_step(TINY_STEREO, augment=True, crop=True)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    after = jax.tree_util.tree_leaves(state.params)
+    moved = [
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    ]
+    # every parameter leaf must receive a gradient through the augmented path
+    assert all(moved), f"{moved.count(False)} param leaves did not move"
+
+
+def test_stereo_selfsup_step_with_augmentation():
+    import jax
+
+    rng = np.random.default_rng(6)
+    batch = {
+        "left": rng.integers(0, 256, (2, 32, 64, 3), dtype=np.uint8),
+        "right": rng.integers(0, 256, (2, 32, 64, 3), dtype=np.uint8),
+        "rng": jax.random.PRNGKey(1),
+    }
+    state = train.make_train_state(TINY_STEREO, seed=0)
+    step = train.make_stereo_selfsup_train_step(TINY_STEREO, augment=True)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
