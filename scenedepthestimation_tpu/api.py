@@ -147,12 +147,13 @@ def build_stereo_program(cfg: RunConfig, model: StereoNet):
     net_hw = (cfg.stereo.height, cfg.stereo.width)
     dtype = _compute_dtype(cfg)
     # Collapsed/packed aggregation (ops/collapsed.py): exact inference
-    # rewrite; the refine path keeps the module (aux heads), and the
-    # rewrite needs the /4-feature grid divisible by 8 (three stride-2
+    # rewrite; needs the /4-feature grid divisible by 8 (three stride-2
     # encoder levels + even dims at every collapsed decoder level).
+    # Refine checkpoints ride it too (VERDICT r2 next-#2): the aux cost
+    # heads are training-only, and the Refinement module runs as the
+    # functional ops/collapsed.refinement_forward after the readout.
     use_packed_agg = (
         cfg.stereo.packed_agg
-        and not cfg.stereo.refine
         and (cfg.stereo.height // cfg.stereo.feat_stride) % 8 == 0
         and (cfg.stereo.width // cfg.stereo.feat_stride) % 8 == 0
     )
@@ -188,6 +189,18 @@ def build_stereo_program(cfg: RunConfig, model: StereoNet):
             refined.astype(jnp.float32),
             temperature=s.softargmin_temperature,
         ) * float(s.feat_stride)
+        if s.refine:
+            from scenedepthestimation_tpu.ops.collapsed import (
+                refinement_forward,
+            )
+
+            q = refinement_forward(
+                variables["params"]["refinement"],
+                f_l,
+                q,
+                float(s.corr_disp * s.feat_stride),
+                dtype=dtype,
+            )
         return upsample4x_bilinear_packed(q[..., None])[..., 0]
 
     def program(variables, left, right):

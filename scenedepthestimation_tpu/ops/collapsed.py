@@ -312,6 +312,34 @@ def collapsed_cost_aggregation(
     return depth_to_space(cost_p)  # (B, H4, W4, D)
 
 
+def refinement_forward(
+    params, f_l: jnp.ndarray, disp_q: jnp.ndarray, max_disp: float,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Functional inference form of models/stereo.Refinement (three small
+    zero-pad convs), so refine-trained checkpoints can ride the packed
+    aggregation path instead of falling back to the module path
+    (VERDICT r2 next-#2). Exact same math as the module; the aux-scale
+    cost heads are training-only and never evaluated here."""
+    x = jnp.concatenate(
+        [f_l.astype(dtype), (disp_q / max_disp).astype(dtype)[..., None]],
+        axis=-1,
+    )
+    for name in ("conv1", "conv2"):
+        q = params[name]["conv"]
+        y = lax.conv_general_dilated(
+            x, q["kernel"].astype(dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = jax.nn.relu(y + q["bias"].astype(dtype))
+    q = params["residual"]
+    r = lax.conv_general_dilated(
+        x, q["kernel"].astype(dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + q["bias"].astype(dtype)
+    return disp_q + r[..., 0].astype(jnp.float32) * max_disp
+
+
 def collapsed_mono_decoder(
     dec_params,
     features,

@@ -161,3 +161,40 @@ def test_collapsed_mono_decoder_matches_standard(disp_variant):
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_stereo_program_packed_agg_refine_matches_module():
+    """Refine checkpoints ride the packed path too (VERDICT r2 next-#2):
+    packed_agg + refine == module path + refine, same variables."""
+    import dataclasses
+
+    from scenedepthestimation_tpu import api, configs
+
+    base = configs.get("stereo_256x512_b4")
+    rng = np.random.default_rng(13)
+    left = rng.integers(0, 256, (1, 64, 128, 3), dtype=np.uint8)
+    right = rng.integers(0, 256, (1, 64, 128, 3), dtype=np.uint8)
+
+    outs = {}
+    variables = None
+    for packed in (False, True):
+        cfg = dataclasses.replace(
+            base,
+            stereo=dataclasses.replace(
+                base.stereo,
+                height=64,
+                width=128,
+                max_disp=32,
+                feat_channels=16,
+                refine=True,
+                packed_agg=packed,
+            ),
+        )
+        predictor = api.load_weights(None, cfg, seed=0)
+        if variables is None:
+            variables = predictor.variables  # share across both paths
+        program = api.build_stereo_program(cfg, predictor.model)
+        outs[packed] = np.asarray(
+            program(variables, jnp.asarray(left), jnp.asarray(right))["disp"]
+        )
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-4)
