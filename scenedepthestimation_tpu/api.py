@@ -59,10 +59,8 @@ def build_mono_program(
 
     use_folded = cfg.mono.fold_bn
 
-    def forward_disp0(variables, x):
-        if not (use_packed or use_folded):
-            return model.apply(variables, x)[0]
-
+    def _feats(variables, x):
+        """Encoder feature pyramid, BN folded or live-stats."""
         if use_folded:
             from scenedepthestimation_tpu.models.folded import (
                 fold_encoder_bn,
@@ -76,21 +74,23 @@ def build_mono_program(
                 variables["batch_stats"]["encoder"],
                 cfg.mono.num_layers,
             )
-            feats = folded_encoder_apply(
+            return folded_encoder_apply(
                 folded, x, cfg.mono.num_layers, dtype=dtype
             )
-        else:
-            from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+        from scenedepthestimation_tpu.models.resnet import ResNetEncoder
 
-            feats = ResNetEncoder(
-                num_layers=cfg.mono.num_layers, dtype=dtype
-            ).apply(
-                {
-                    "params": variables["params"]["encoder"],
-                    "batch_stats": variables["batch_stats"]["encoder"],
-                },
-                x,
-            )
+        return ResNetEncoder(num_layers=cfg.mono.num_layers, dtype=dtype).apply(
+            {
+                "params": variables["params"]["encoder"],
+                "batch_stats": variables["batch_stats"]["encoder"],
+            },
+            x,
+        )
+
+    def forward_disp0(variables, x):
+        if not (use_packed or use_folded):
+            return model.apply(variables, x)[0]
+        feats = _feats(variables, x)
         if not use_packed:
             from scenedepthestimation_tpu.models.unet_decoder import DepthDecoder
 
@@ -112,13 +112,30 @@ def build_mono_program(
 
     def program(variables, img):
         x = preprocess(img, net_hw, cfg.pre, compute_dtype=dtype)
+        src_hw = img.shape[-3:-1]
+        if use_packed and not post_process and tuple(src_hw) == net_hw:
+            # Round-3 fast tail: sigmoid + disp→depth fused into the
+            # packed layout on full-lane tiles (see collapsed.py). Only
+            # when no resize sits between sigmoid and conversion and no
+            # flip-TTA blending needs the raw sigmoid map.
+            from scenedepthestimation_tpu.ops.collapsed import (
+                collapsed_mono_decoder,
+            )
+
+            return collapsed_mono_decoder(
+                variables["params"]["decoder"],
+                _feats(variables, x),
+                dec_channels=cfg.mono.dec_channels,
+                upsample_mode=cfg.mono.upsample_mode,
+                dtype=dtype,
+                disp_to_depth_minmax=(cfg.mono.min_depth, cfg.mono.max_depth),
+            )
         if post_process:
             x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
         disp0 = forward_disp0(variables, x).astype(jnp.float32)  # (B', h, w, 1)
         if post_process:
             b = img.shape[0]
             disp0 = _blend_flipped(disp0[:b], disp0[b:, :, ::-1, :])
-        src_hw = img.shape[-3:-1]
         if tuple(src_hw) != net_hw:
             disp0 = resize_bilinear(disp0, src_hw, antialias=False)
         scaled_disp, depth = disp_to_depth(

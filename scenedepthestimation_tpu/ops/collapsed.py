@@ -73,6 +73,18 @@ def set_use_fused_tail(flag: bool | None) -> None:
     _USE_FUSED_TAIL = flag
 
 
+# Round-3 pad-elimination (conv3x3_edge_v2 & friends): True = zero-pad
+# convs + border-strip assembly (no materialized edge/reflect pads).
+# A/B flag for bench/profile scripts; default ON by measurement
+# (BASELINE.md round-3 notes).
+_USE_NOPAD: bool = True
+
+
+def set_use_nopad(flag: bool) -> None:
+    global _USE_NOPAD
+    _USE_NOPAD = flag
+
+
 # Row-collapse matrices: M[a][z_offset_index, tap_index] = 1 iff full-res
 # tap ``tap`` of output parity ``a`` reads half-res row p + (z_offset-1).
 #   a=0: taps (dy=-1,0,1) read rows (p-1, p, p); a=1: rows (p, p, p+1).
@@ -106,6 +118,147 @@ def conv3x3_edge(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def conv3x3_nopad(
+    x: jnp.ndarray, kernel: jnp.ndarray, mode: str = "edge"
+) -> jnp.ndarray:
+    """3x3 conv with EDGE or REFLECT border semantics, computed without
+    materializing the padded tensor (round-3 rewrite).
+
+    Measured (bench/probe_pad.py, b128 bf16): a jnp.pad-EDGE costs
+    +1.6..+13 ms at the collapsed-path shapes while a ZERO pad is free —
+    XLA folds zero padding into the conv but must materialize any other
+    mode AND then runs the conv misaligned (W+2). So: run the conv with
+    native zero padding (aligned, no copy), recompute the four
+    border-touching output strips from 2-row/2-col slices with true
+    edge/reflect semantics (tiny convs), and assemble with two concats.
+    A dynamic_update_slice assembly is NOT cheaper (each dus copies the
+    whole operand, +0.85 ms at (96,288,64)), and additive ``lax.pad``
+    corrections (conv3x3_edge_v3) are far worse in-program — the zero
+    pads do not fuse into the adds (e2e 1394 -> 1162 fps when tried).
+
+    Reflect strips: jnp.pad-reflect of a 2-row/2-col slice prepends
+    exactly the reflect source row/col (pad([r0, r1]) = [r1, r0, r1]).
+
+    Shapes with H or W < 4 (deep decoder levels at small test sizes)
+    fall back to the materialized pad: the strip assembly needs
+    non-degenerate interior slices, and the pad copy is free at those
+    sizes anyway.
+    """
+    dn = ("NHWC", "HWIO", "NHWC")
+    if x.shape[1] < 4 or x.shape[2] < 4:
+        return lax.conv_general_dilated(
+            jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode),
+            kernel, (1, 1), "VALID", dimension_numbers=dn,
+        )
+    y = lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+    )
+
+    def strip(sl, pad):
+        return lax.conv_general_dilated(
+            jnp.pad(sl, ((0, 0), *pad, (0, 0)), mode=mode),
+            kernel, (1, 1), "VALID", dimension_numbers=dn,
+        )
+
+    top = strip(x[:, :2], (((1, 0), (1, 1))))  # (B, 1, W, Co)
+    bot = strip(x[:, -2:], (((0, 1), (1, 1))))
+    left = strip(x[:, :, :2], (((1, 1), (1, 0))))  # (B, H, 1, Co)
+    right = strip(x[:, :, -2:], (((1, 1), (0, 1))))
+    mid = jnp.concatenate(
+        [top[:, :, 1:-1], y[:, 1:-1, 1:-1], bot[:, :, 1:-1]], axis=1
+    )
+    return jnp.concatenate([left, mid, right], axis=2)
+
+
+def conv3x3_edge_v2(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Edge-mode alias of :func:`conv3x3_nopad` (round-3 form)."""
+    return conv3x3_nopad(x, kernel, mode="edge")
+
+
+def conv3x3_edge_v3(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Exact :func:`conv3x3_edge` as zero-pad conv + ADDITIVE border
+    corrections (round-3 final form).
+
+    v2's strip-recompute + concat assembly measured +5.3 ms at the
+    dispconv shape (bench/probe_tail.py) — the thin strip convs and
+    full-tensor concats don't fuse. Here the border terms are added
+    instead: O_edge = O_zero + Σ pad(C_side), where each C_side is a
+    1-row/1-col correction conv (the taps that zero padding dropped,
+    with edge semantics) and the zero ``lax.pad``s fuse lazily into the
+    consuming add — no extra full-tensor passes at all.
+
+    Corner exactness: the row corrections are computed with W-edge pads
+    (so they carry the diagonal corner taps); the column corrections use
+    zero row-padding, so corner terms are counted exactly once.
+    """
+    dn = ("NHWC", "HWIO", "NHWC")
+    h, w = x.shape[1], x.shape[2]
+    y = lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+    )
+
+    def row_corr(row, krow):  # (B,1,W,C) x (1,3,C,Co) with W-edge pad
+        return lax.conv_general_dilated(
+            jnp.pad(row, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge"),
+            krow, (1, 1), "VALID", dimension_numbers=dn,
+        )
+
+    def col_corr(col, kcol):  # (B,H,1,C) x (3,1,C,Co) with H-zero pad
+        return lax.conv_general_dilated(
+            col, kcol, (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn
+        )
+
+    ct = row_corr(x[:, :1], kernel[0:1])
+    cb = row_corr(x[:, -1:], kernel[2:3])
+    cl = col_corr(x[:, :, :1], kernel[:, 0:1])
+    cr = col_corr(x[:, :, -1:], kernel[:, 2:3])
+    zero = jnp.zeros((), y.dtype)
+    y = y + lax.pad(ct.astype(y.dtype), zero, [(0, 0, 0), (0, h - 1, 0), (0, 0, 0), (0, 0, 0)])
+    y = y + lax.pad(cb.astype(y.dtype), zero, [(0, 0, 0), (h - 1, 0, 0), (0, 0, 0), (0, 0, 0)])
+    y = y + lax.pad(cl.astype(y.dtype), zero, [(0, 0, 0), (0, 0, 0), (0, w - 1, 0), (0, 0, 0)])
+    y = y + lax.pad(cr.astype(y.dtype), zero, [(0, 0, 0), (0, 0, 0), (w - 1, 0, 0), (0, 0, 0)])
+    return y
+
+
+def strided_skip_conv_v3(x: jnp.ndarray, kernel4: jnp.ndarray) -> jnp.ndarray:
+    """Exact :func:`strided_skip_conv` (reflect (1,2)/(1,2), 4x4, s2) as
+    zero-pad conv + additive reflect-border corrections (see
+    conv3x3_edge_v3). Reflect sources: row -1 ≡ x[1], row H ≡ x[H-2]
+    (row H+1 / col W+1 are never read — the last window starts at H-2 of
+    the padded frame); same for columns.
+    """
+    dn = ("NHWC", "HWIO", "NHWC")
+    h, w = x.shape[1], x.shape[2]
+    p_out, q_out = h // 2, w // 2
+    y = lax.conv_general_dilated(
+        x, kernel4, (2, 2), ((1, 2), (1, 2)), dimension_numbers=dn
+    )
+
+    def row_corr(row, krow):  # (B,1,W,C) x (1,4,C,Co), stride-2 cols,
+        # reflect W pads (col -1 ≡ x[...,1], col W ≡ x[...,W-2])
+        return lax.conv_general_dilated(
+            jnp.pad(row, ((0, 0), (0, 0), (1, 2), (0, 0)), mode="reflect"),
+            krow, (1, 2), "VALID", dimension_numbers=dn,
+        )
+
+    def col_corr(col, kcol):  # (B,H,1,C) x (4,1,C,Co), stride-2 rows,
+        # zero row pads (out-of-range rows belong to the row corrections)
+        return lax.conv_general_dilated(
+            col, kcol, (2, 1), ((1, 2), (0, 0)), dimension_numbers=dn
+        )
+
+    ct = row_corr(x[:, 1:2], kernel4[0:1])  # row -1 ≡ x[1]
+    cb = row_corr(x[:, h - 2 : h - 1], kernel4[3:4])  # row H ≡ x[H-2]
+    cl = col_corr(x[:, :, 1:2], kernel4[:, 0:1])  # col -1 ≡ x[:,1]
+    cr = col_corr(x[:, :, w - 2 : w - 1], kernel4[:, 3:4])  # col W ≡ x[:,W-2]
+    zero = jnp.zeros((), y.dtype)
+    y = y + lax.pad(ct.astype(y.dtype), zero, [(0, 0, 0), (0, p_out - 1, 0), (0, 0, 0), (0, 0, 0)])
+    y = y + lax.pad(cb.astype(y.dtype), zero, [(0, 0, 0), (p_out - 1, 0, 0), (0, 0, 0), (0, 0, 0)])
+    y = y + lax.pad(cl.astype(y.dtype), zero, [(0, 0, 0), (0, 0, 0), (0, q_out - 1, 0), (0, 0, 0)])
+    y = y + lax.pad(cr.astype(y.dtype), zero, [(0, 0, 0), (0, 0, 0), (q_out - 1, 0, 0), (0, 0, 0)])
+    return y
 
 
 def strided_skip_conv_kernel(k: jnp.ndarray) -> jnp.ndarray:
@@ -239,6 +392,83 @@ def strided_skip_conv(x: jnp.ndarray, kernel4: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def strided_skip_conv_v2(x: jnp.ndarray, kernel4: jnp.ndarray) -> jnp.ndarray:
+    """Exact :func:`strided_skip_conv` without the materialized reflect
+    pad (same zero-pad + border-strip assembly as conv3x3_edge_v2; see
+    that docstring for the measurements).
+
+    Geometry: pad ((1,2),(1,2)) reflect, 4x4 window, stride 2 — the
+    second hi-pad row/col is never read (last window starts at H-2 of
+    the padded frame), so the strips only need one reflect row/col.
+
+    H or W < 8 falls back to the materialized pad (degenerate strips).
+    """
+    if x.shape[1] < 8 or x.shape[2] < 8:
+        return strided_skip_conv(x, kernel4)
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = lax.conv_general_dilated(
+        x, kernel4, (2, 2), ((1, 2), (1, 2)), dimension_numbers=dn
+    )
+
+    def strip(sl, pad):
+        return lax.conv_general_dilated(
+            jnp.pad(sl, ((0, 0), *pad, (0, 0)), mode="reflect"),
+            kernel4, (2, 2), "VALID", dimension_numbers=dn,
+        )
+
+    top = strip(x[:, :3], ((1, 0), (1, 1)))  # (B, 1, W/2, 4Co)
+    bot = strip(x[:, -3:], ((0, 1), (1, 1)))
+    left = strip(x[:, :, :3], ((1, 1), (1, 0)))  # (B, H/2, 1, 4Co)
+    right = strip(x[:, :, -3:], ((1, 1), (0, 1)))
+    mid = jnp.concatenate(
+        [top[:, :, 1:-1], y[:, 1:-1, 1:-1], bot[:, :, 1:-1]], axis=1
+    )
+    return jnp.concatenate([left, mid, right], axis=2)
+
+
+def colpack_conv_edge_v2(
+    x: jnp.ndarray, kp: jnp.ndarray, block: int = 32
+) -> jnp.ndarray:
+    """Exact :func:`colpack_conv_edge` (edge-padded packed-Cout conv via
+    column packing) without the materialized edge pad.
+
+    The probe (bench/probe_pad.py) measured the edge pad at THIS shape
+    ((192,576,64->4), b128) at +13 ms vs native zero padding — the
+    single largest movement cost in the round-2 tail. The packed conv
+    runs with native zero padding (aligned, stride (1, block)); the four
+    border strips are recomputed with the UNPACKED kernel ``kp``
+    (Cout=g tiny convs over 2-row/2-col slices) and assembled with two
+    concats on the small (B, H, W, g) output.
+
+    H < 4 falls back to the materialized-pad colpack (degenerate strips;
+    W is always >= 32 here — the caller gates on W % 32 == 0).
+    """
+    b, h, w, _ = x.shape
+    g = kp.shape[-1]
+    if h < 4:
+        return colpack_conv_edge(x, colpack_conv_kernel(kp, block), g)
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = lax.conv_general_dilated(
+        x, colpack_conv_kernel(kp, block), (1, block), ((1, 1), (1, 1)),
+        dimension_numbers=dn,
+    ).reshape(b, h, w, g)
+
+    def strip(sl, pad):
+        return lax.conv_general_dilated(
+            jnp.pad(sl, ((0, 0), *pad, (0, 0)), mode="edge"),
+            kp, (1, 1), "VALID", dimension_numbers=dn,
+        )
+
+    top = strip(x[:, :2], ((1, 0), (1, 1)))
+    bot = strip(x[:, -2:], ((0, 1), (1, 1)))
+    left = strip(x[:, :, :2], ((1, 1), (1, 0)))
+    right = strip(x[:, :, -2:], ((1, 1), (0, 1)))
+    mid = jnp.concatenate(
+        [top[:, :, 1:-1], y[:, 1:-1, 1:-1], bot[:, :, 1:-1]], axis=1
+    )
+    return jnp.concatenate([left, mid, right], axis=2)
+
+
 def collapsed_cost_aggregation(
     params, x: jnp.ndarray, dtype=jnp.float32
 ) -> jnp.ndarray:
@@ -347,6 +577,7 @@ def collapsed_mono_decoder(
     upsample_mode: str = "nearest",
     dtype=jnp.float32,
     disp_variant: str = "packed",
+    disp_to_depth_minmax=None,
 ) -> jnp.ndarray:
     """Scale-0 disparity with levels 1 and 0 in collapsed/packed layout.
 
@@ -359,16 +590,37 @@ def collapsed_mono_decoder(
       * "packed" — dispconv as a packed (3, 3, 4c0, 4) conv at H/2.
       * "fullres" — depth_to_space the packed u01 output and run the
         dispconv at full res (XLA baseline for the variant bench).
+
+    ``disp_to_depth_minmax=(min_depth, max_depth)`` fuses the
+    disp→depth epilogue INTO the packed layout (round 3): sigmoid /
+    scaled-disp / reciprocal run on the (B, H/2, W/2*4) merged-minor
+    view (full 128-lane tiles instead of a 4-wide trailing dim) and the
+    two maps each leave through one depth_to_space. Returns
+    {'disp': (B,H,W) scaled_disp, 'depth': (B,H,W)} fp32 instead of the
+    sigmoid tensor. Only exact when the caller needs no source-res
+    resize between sigmoid and conversion (resize and disp_to_depth do
+    not commute).
     """
     assert upsample_mode == "nearest", "collapse requires nearest upsample"
     c0, c1 = dec_channels[0], dec_channels[1]
+    # v2 (strip-concat assembly) is the measured round-3 winner; the v3
+    # additive-correction form regressed e2e (see conv3x3_nopad notes).
+    edge_conv = conv3x3_edge_v2 if _USE_NOPAD else conv3x3_edge
+    skip_conv = strided_skip_conv_v2 if _USE_NOPAD else strided_skip_conv
 
     def p(name):
         q = dec_params[name]["conv"]
         return q["kernel"], q["bias"]
 
-    def cb(name, t):  # standard ConvBlock: reflect-pad conv3x3 + ELU
+    def cb(name, t):  # standard ConvBlock: reflect-border conv3x3 + ELU
         k, b = p(name)
+        if _USE_NOPAD:
+            # Zero-pad conv + reflect border strips — same rewrite as the
+            # collapsed levels, applied to the standard-level ConvBlocks
+            # whose jnp.pad-reflect otherwise materializes multi-GB
+            # tensors at b128 (upconv_2_1 input alone is 3.6 GB).
+            y = conv3x3_nopad(t.astype(dtype), k.astype(dtype), mode="reflect")
+            return jax.nn.elu(y + b.astype(dtype))
         return conv3x3_xla(t.astype(dtype), k.astype(dtype), b.astype(dtype), "elu")
 
     x = features[-1]
@@ -385,8 +637,8 @@ def collapsed_mono_decoder(
     t = cb("upconv_1_0", x)  # (B, H/4, W/4, c1)
     k11, b11 = p("upconv_1_1")
     k11 = k11.astype(dtype)
-    y1p = conv3x3_edge(t, collapse_upsample_conv_kernel(k11[:, :, :c1, :]))
-    y1p = y1p + strided_skip_conv(
+    y1p = edge_conv(t, collapse_upsample_conv_kernel(k11[:, :, :c1, :]))
+    y1p = y1p + skip_conv(
         features[0].astype(dtype),
         strided_skip_conv_kernel(k11[:, :, c1:, :]),
     )
@@ -405,6 +657,7 @@ def collapsed_mono_decoder(
             jnp.dtype(dtype).itemsize,
         )
     if use_fused:
+        assert disp_to_depth_minmax is None
         y0pp = fused_tail.fused_tail_pallas(
             y1p,
             pack_conv3x3_kernel(k00.astype(dtype)),
@@ -438,7 +691,7 @@ def collapsed_mono_decoder(
         return depth_to_space(depth_to_space(dp2))  # (B, H, W, 1) fp32
     else:
         zp = jax.nn.elu(
-            conv3x3_edge(y1p, pack_conv3x3_kernel(k00.astype(dtype)))
+            edge_conv(y1p, pack_conv3x3_kernel(k00.astype(dtype)))
             + jnp.tile(b00.astype(dtype), 4)
         )  # (B, H/4, W/4, 4*c0) = packed (H/2, W/2, c0)
         # Unpack z first: the collapsed conv then runs at (H/2, W/2) with
@@ -449,22 +702,45 @@ def collapsed_mono_decoder(
         # cheaper than the HBM round-trips it removes.
         z = depth_to_space(zp)  # (B, H/2, W/2, c0)
         y0p = jax.nn.elu(
-            conv3x3_edge(z, collapse_upsample_conv_kernel(k01.astype(dtype)))
+            edge_conv(z, collapse_upsample_conv_kernel(k01.astype(dtype)))
             + jnp.tile(b01.astype(dtype), 4)
         )  # (B, H/2, W/2, 4*c0) = packed (H, W, c0)
 
     kd, bd = p("dispconv_0")
     if disp_variant == "fullres":
+        assert disp_to_depth_minmax is None
         y0 = depth_to_space(y0p)  # (B, H, W, c0)
         d = conv3x3_xla(y0, kd.astype(dtype), bd.astype(dtype), "none")
         return jax.nn.sigmoid(d.astype(jnp.float32))
     kdp = pack_conv3x3_kernel(kd.astype(dtype))
     if y0p.shape[2] % 32 == 0:
-        # Column-packed: the Cout=4 head starves the MXU's N dimension
-        # (measured 13-15 ms at the judged config); packing 32 output
-        # columns into channels runs it at full utilization.
-        dp = colpack_conv_edge(y0p, colpack_conv_kernel(kdp), 4)
+        # Column-packed: the Cout=4 head starves the MXU's N dimension;
+        # packing 32 output columns into channels runs it at full
+        # utilization. With _USE_NOPAD the edge border comes from strip
+        # assembly instead of a materialized pad (probe_pad.py measured
+        # that pad at +13 ms).
+        if _USE_NOPAD:
+            dp = colpack_conv_edge_v2(y0p, kdp)
+        else:
+            dp = colpack_conv_edge(y0p, colpack_conv_kernel(kdp), 4)
     else:
-        dp = conv3x3_edge(y0p, kdp)
-    dp = jax.nn.sigmoid((dp + jnp.tile(bd.astype(dtype), 4)).astype(jnp.float32))
-    return depth_to_space(dp)  # (B, H, W, 1) fp32
+        dp = edge_conv(y0p, kdp)
+    dp = dp + jnp.tile(bd.astype(dtype), 4)  # (B, H/2, W/2, 4) logits
+    if disp_to_depth_minmax is None:
+        dp = jax.nn.sigmoid(dp.astype(jnp.float32))
+        return depth_to_space(dp)  # (B, H, W, 1) fp32
+    # Fused epilogue on the merged-minor view: a (…, 4) trailing dim
+    # runs elementwise passes at 4/128 lane fill; merging W/2 and the
+    # parity channels into one 2*W-wide minor axis is a free reshape
+    # and restores full tiles (the round-2 parity-plane-upsample lesson,
+    # applied to the postprocess).
+    bb, hh, ww, _ = dp.shape
+    flat = dp.reshape(bb, hh, ww * 4).astype(jnp.float32)
+    sig = jax.nn.sigmoid(flat)
+    from scenedepthestimation_tpu.ops.disp_to_depth import disp_to_depth
+
+    scaled, depth = disp_to_depth(sig, *disp_to_depth_minmax)
+    return {
+        "disp": depth_to_space(scaled.reshape(bb, hh, ww, 4))[..., 0],
+        "depth": depth_to_space(depth.reshape(bb, hh, ww, 4))[..., 0],
+    }

@@ -198,3 +198,155 @@ def test_stereo_program_packed_agg_refine_matches_module():
             program(variables, jnp.asarray(left), jnp.asarray(right))["disp"]
         )
     np.testing.assert_allclose(outs[True], outs[False], atol=1e-4)
+
+
+# --- round-3 pad-elimination (zero-pad conv + border-strip assembly) -------
+
+
+def _rand(shape, seed, scale=1.0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(0, scale, shape).astype(np.float32)
+    )
+
+
+@pytest.mark.parametrize("hw", [(8, 12), (10, 34)])
+def test_conv3x3_edge_v2_matches_v1(hw):
+    h, w = hw
+    x = _rand((2, h, w, 6), 0)
+    k = _rand((3, 3, 6, 5), 1, 0.2)
+    np.testing.assert_allclose(
+        np.asarray(collapsed.conv3x3_edge_v2(x, k)),
+        np.asarray(collapsed.conv3x3_edge(x, k)),
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("hw", [(8, 12), (12, 20)])
+def test_strided_skip_conv_v2_matches_v1(hw):
+    h, w = hw
+    x = _rand((2, h, w, 6), 2)
+    k = _rand((3, 3, 6, 5), 3, 0.2)
+    k4 = collapsed.strided_skip_conv_kernel(k)
+    np.testing.assert_allclose(
+        np.asarray(collapsed.strided_skip_conv_v2(x, k4)),
+        np.asarray(collapsed.strided_skip_conv(x, k4)),
+        atol=1e-5,
+    )
+
+
+def test_colpack_conv_edge_v2_matches_v1():
+    x = _rand((2, 6, 64, 8), 4)
+    kp = _rand((3, 3, 8, 4), 5, 0.2)
+    np.testing.assert_allclose(
+        np.asarray(collapsed.colpack_conv_edge_v2(x, kp)),
+        np.asarray(
+            collapsed.colpack_conv_edge(x, collapsed.colpack_conv_kernel(kp), 4)
+        ),
+        atol=1e-5,
+    )
+
+
+def test_collapsed_decoder_nopad_matches_pad():
+    """The _USE_NOPAD execution (zero-pad + border assembly) must equal
+    the materialized-pad execution bit-for-bit up to reassociation."""
+    cfg = MonoConfig(height=32, width=64)
+    model = MonoDepthNet(cfg=cfg, dtype=jnp.float32)
+    x = _rand((1, 32, 64, 3), 6)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+
+    feats = ResNetEncoder(num_layers=18, dtype=jnp.float32).apply(
+        {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        },
+        x,
+    )
+    outs = {}
+    for flag in (False, True):
+        collapsed.set_use_nopad(flag)
+        try:
+            outs[flag] = np.asarray(
+                collapsed.collapsed_mono_decoder(
+                    variables["params"]["decoder"], feats
+                )
+            )
+        finally:
+            collapsed.set_use_nopad(True)
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-5)
+
+
+def test_collapsed_decoder_maps_epilogue_matches_separate():
+    """disp_to_depth_minmax fused epilogue == sigmoid path + disp_to_depth."""
+    from scenedepthestimation_tpu.ops.disp_to_depth import disp_to_depth
+
+    cfg = MonoConfig(height=32, width=64)
+    model = MonoDepthNet(cfg=cfg, dtype=jnp.float32)
+    x = _rand((1, 32, 64, 3), 7)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+
+    feats = ResNetEncoder(num_layers=18, dtype=jnp.float32).apply(
+        {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        },
+        x,
+    )
+    disp_sig = collapsed.collapsed_mono_decoder(
+        variables["params"]["decoder"], feats
+    )
+    ref_scaled, ref_depth = disp_to_depth(disp_sig[..., 0], 0.1, 100.0)
+    maps = collapsed.collapsed_mono_decoder(
+        variables["params"]["decoder"], feats, disp_to_depth_minmax=(0.1, 100.0)
+    )
+    np.testing.assert_allclose(np.asarray(maps["disp"]), np.asarray(ref_scaled), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(maps["depth"]), np.asarray(ref_depth), atol=1e-4)
+
+
+@pytest.mark.parametrize("hw", [(8, 12), (10, 34)])
+def test_conv3x3_edge_v3_matches_v1(hw):
+    h, w = hw
+    x = _rand((2, h, w, 6), 20)
+    k = _rand((3, 3, 6, 5), 21, 0.2)
+    np.testing.assert_allclose(
+        np.asarray(collapsed.conv3x3_edge_v3(x, k)),
+        np.asarray(collapsed.conv3x3_edge(x, k)),
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("hw", [(8, 12), (12, 20)])
+def test_strided_skip_conv_v3_matches_v1(hw):
+    h, w = hw
+    x = _rand((2, h, w, 6), 22)
+    k = _rand((3, 3, 6, 5), 23, 0.2)
+    k4 = collapsed.strided_skip_conv_kernel(k)
+    np.testing.assert_allclose(
+        np.asarray(collapsed.strided_skip_conv_v3(x, k4)),
+        np.asarray(collapsed.strided_skip_conv(x, k4)),
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("hw", [(2, 3), (3, 8), (8, 12), (10, 34)])
+@pytest.mark.parametrize("mode", ["edge", "reflect"])
+def test_conv3x3_nopad_matches_padded(hw, mode):
+    """Direct ground truth: nopad(x, k, mode) == conv over jnp.pad(x, mode),
+    including the tiny-shape fallback path (H or W < 4)."""
+    h, w = hw
+    if mode == "reflect" and (h < 2 or w < 2):
+        pytest.skip("reflect needs >=2")
+    x = _rand((2, h, w, 6), 30 + h * w)
+    k = _rand((3, 3, 6, 5), 31, 0.2)
+    import jax.lax as lax
+
+    ref = lax.conv_general_dilated(
+        jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode),
+        k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(collapsed.conv3x3_nopad(x, k, mode=mode)),
+        np.asarray(ref),
+        atol=1e-5,
+    )
