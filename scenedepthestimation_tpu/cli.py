@@ -301,6 +301,9 @@ def cmd_bench(args: argparse.Namespace) -> int:
         for row in benchmark.run_latency_bench():
             print(json.dumps(row))
         return 0
+    if getattr(args, "stream", False):
+        print(json.dumps(benchmark.run_stream_bench(depth=args.stream_depth)))
+        return 0
     result = benchmark.run_bench(
         config=_resolve_config(args.config, args), batch_size=args.batch_size, iters=args.iters
     )
@@ -351,6 +354,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--latency",
         action="store_true",
         help="b=1 serving latency sweep + export artifact round trip",
+    )
+    pb.add_argument(
+        "--stream",
+        action="store_true",
+        help="b=1 async stream serving: naive vs pipelined vs device bound",
+    )
+    pb.add_argument(
+        "--stream-depth",
+        type=int,
+        default=3,
+        help="frames in flight for --stream pipelining",
     )
     pb.set_defaults(fn=cmd_bench)
 
