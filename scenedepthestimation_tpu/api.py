@@ -75,7 +75,11 @@ def build_mono_program(
                 cfg.mono.num_layers,
             )
             return folded_encoder_apply(
-                folded, x, cfg.mono.num_layers, dtype=dtype
+                folded,
+                x,
+                cfg.mono.num_layers,
+                dtype=dtype,
+                s2d_stem=cfg.mono.s2d_stem,
             )
         from scenedepthestimation_tpu.models.resnet import ResNetEncoder
 

@@ -74,11 +74,32 @@ def _conv(t, x, stride: int, pad: int, dtype):
 
 
 def folded_encoder_apply(
-    folded, x: jnp.ndarray, num_layers: int = 18, dtype=jnp.float32
+    folded,
+    x: jnp.ndarray,
+    num_layers: int = 18,
+    dtype=jnp.float32,
+    s2d_stem: bool = False,
 ) -> Sequence[jnp.ndarray]:
-    """Mirror of ResNetEncoder.__call__ (inference) over a folded tree."""
+    """Mirror of ResNetEncoder.__call__ (inference) over a folded tree.
+
+    ``s2d_stem`` runs conv1 through the space-to-depth rewrite
+    (ops/stem.py): exact, and ~3x faster at the judged shape because the
+    7x7-on-C=3 form starves the MXU contraction dim (BASELINE.md r3).
+    Requires even H, W.
+    """
     features = []
-    y = nn.relu(_conv(folded["conv1"], x.astype(dtype), 2, 3, dtype))
+    xd = x.astype(dtype)
+    if s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        from scenedepthestimation_tpu.ops.stem import (
+            s2d_stem_conv,
+            s2d_stem_kernel,
+        )
+
+        t = folded["conv1"]
+        y = s2d_stem_conv(xd, s2d_stem_kernel(t["kernel"].astype(dtype)), 7)
+        y = nn.relu(y + t["bias"].astype(dtype))
+    else:
+        y = nn.relu(_conv(folded["conv1"], xd, 2, 3, dtype))
     features.append(y)  # /2, 64ch
 
     y = nn.max_pool(

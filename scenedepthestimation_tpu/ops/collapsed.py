@@ -85,6 +85,18 @@ def set_use_nopad(flag: bool) -> None:
     _USE_NOPAD = flag
 
 
+# Round-3 experiment: run decoder levels 4..2 collapsed too (upsample
+# folded into upconv_i_1, skip via the stride-2 4x4 form, depth_to_space
+# between levels) instead of materialized upsample_concat + ConvBlock.
+# Same exact rewrite as level 1; A/B flag for the e2e bench.
+_COLLAPSE_HI: bool = False
+
+
+def set_collapse_hi(flag: bool) -> None:
+    global _COLLAPSE_HI
+    _COLLAPSE_HI = flag
+
+
 # Row-collapse matrices: M[a][z_offset_index, tap_index] = 1 iff full-res
 # tap ``tap`` of output parity ``a`` reads half-res row p + (z_offset-1).
 #   a=0: taps (dy=-1,0,1) read rows (p-1, p, p); a=1: rows (p, p, p+1).
@@ -550,23 +562,57 @@ def refinement_forward(
     zero-pad convs), so refine-trained checkpoints can ride the packed
     aggregation path instead of falling back to the module path
     (VERDICT r2 next-#2). Exact same math as the module; the aux-scale
-    cost heads are training-only and never evaluated here."""
-    x = jnp.concatenate(
-        [f_l.astype(dtype), (disp_q / max_disp).astype(dtype)[..., None]],
-        axis=-1,
+    cost heads are training-only and never evaluated here.
+
+    Two layout rewrites (round 3, both exact by linearity):
+    * conv1 splits the (feats ++ disp) concat — the C=65 operand breaks
+      64-channel tile alignment; conv over the aligned 64ch features
+      plus a tiny 1-channel conv for the disparity plane sums to the
+      same output.
+    * the Cout=1 residual head runs column-packed (colpack_conv_kernel)
+      when W % 32 == 0 — same N-starvation fix as the mono dispconv,
+      with plain zero padding (the module's own border semantics).
+    """
+    dn = ("NHWC", "HWIO", "NHWC")
+    d = (disp_q / max_disp).astype(dtype)[..., None]
+    cf = f_l.shape[-1]
+    q1 = params["conv1"]["conv"]
+    k1 = q1["kernel"].astype(dtype)
+    y = lax.conv_general_dilated(
+        f_l.astype(dtype), k1[:, :, :cf, :], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=dn,
     )
-    for name in ("conv1", "conv2"):
-        q = params[name]["conv"]
-        y = lax.conv_general_dilated(
-            x, q["kernel"].astype(dtype), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    y = y + lax.conv_general_dilated(
+        d, k1[:, :, cf:, :], (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+    )
+    x = jax.nn.relu(y + q1["bias"].astype(dtype))
+    q2 = params["conv2"]["conv"]
+    x = jax.nn.relu(
+        lax.conv_general_dilated(
+            x, q2["kernel"].astype(dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn,
         )
-        x = jax.nn.relu(y + q["bias"].astype(dtype))
+        + q2["bias"].astype(dtype)
+    )
     q = params["residual"]
-    r = lax.conv_general_dilated(
-        x, q["kernel"].astype(dtype), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + q["bias"].astype(dtype)
+    kr = q["kernel"].astype(dtype)
+    b_, h, w, _ = x.shape
+    # Colpack pays an 11x structural-zero FLOP tax for ~30x N-fill; it
+    # wins only when M is large enough to amortize (measured: b16 804 vs
+    # 784 fps with it, b2 652 vs 677 WITHOUT it — BASELINE.md round 3).
+    if w % 32 == 0 and b_ * h * w >= 1 << 18:
+        r = lax.conv_general_dilated(
+            x,
+            colpack_conv_kernel(kr),
+            window_strides=(1, 32),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=dn,
+        ).reshape(b_, h, w, 1)
+    else:
+        r = lax.conv_general_dilated(
+            x, kr, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+        )
+    r = r + q["bias"].astype(dtype)
     return disp_q + r[..., 0].astype(jnp.float32) * max_disp
 
 
@@ -626,8 +672,25 @@ def collapsed_mono_decoder(
     x = features[-1]
     for i in (4, 3, 2):
         x = cb(f"upconv_{i}_0", x)
-        x = upsample_concat(x, features[i - 1], mode=upsample_mode)
-        x = cb(f"upconv_{i}_1", x)
+        if _COLLAPSE_HI:
+            # Same collapse as level 1: fold the nearest upsample into
+            # upconv_i_1 (t-part via the derived (3,3,C,4Co) kernel,
+            # skip read directly through the stride-2 4x4 form), then
+            # depth_to_space for the next level's standard conv. The
+            # upsampled operand's full-grid reflect border is EDGE on
+            # the half grid; the skip's reflect is its own-res reflect.
+            ki, bi = p(f"upconv_{i}_1")
+            ki = ki.astype(dtype)
+            ct = x.shape[-1]
+            y = edge_conv(x, collapse_upsample_conv_kernel(ki[:, :, :ct, :]))
+            y = y + skip_conv(
+                features[i - 1].astype(dtype),
+                strided_skip_conv_kernel(ki[:, :, ct:, :]),
+            )
+            x = depth_to_space(jax.nn.elu(y + jnp.tile(bi.astype(dtype), 4)))
+        else:
+            x = upsample_concat(x, features[i - 1], mode=upsample_mode)
+            x = cb(f"upconv_{i}_1", x)
 
     # ---- level 1: upconv_1_1 over concat([upsample(t), features[0]]) --
     # The t-part collapses (it is the upsampled operand); the skip part

@@ -163,6 +163,41 @@ def test_collapsed_mono_decoder_matches_standard(disp_variant):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_collapsed_mono_decoder_collapse_hi_matches_standard():
+    """Levels 4..2 collapsed (round-3 _COLLAPSE_HI) == DepthDecoder."""
+    cfg = MonoConfig(height=64, width=128)
+    model = MonoDepthNet(cfg=cfg)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 64, 128, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(variables, x)[0])
+
+    from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+
+    feats = ResNetEncoder(num_layers=cfg.num_layers).apply(
+        {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        },
+        x,
+    )
+    collapsed.set_collapse_hi(True)
+    try:
+        got = np.asarray(
+            collapsed.collapsed_mono_decoder(
+                variables["params"]["decoder"],
+                feats,
+                dec_channels=cfg.dec_channels,
+                upsample_mode=cfg.upsample_mode,
+            )
+        )
+    finally:
+        collapsed.set_collapse_hi(False)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_stereo_program_packed_agg_refine_matches_module():
     """Refine checkpoints ride the packed path too (VERDICT r2 next-#2):
     packed_agg + refine == module path + refine, same variables."""
