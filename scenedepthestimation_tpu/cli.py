@@ -407,7 +407,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--warmup-steps",
         type=int,
         default=0,
-        help="linear LR warmup steps (mitigates the high-LR soft-argmin collapse)",
+        help="linear LR warmup steps (plain hyperparameter; measured NOT "
+        "to rescue the high-LR soft-argmin collapse — use --refine or "
+        "aux_ce_weight for that, BASELINE.md round 3)",
     )
     pt.add_argument(
         "--augment",

@@ -57,6 +57,14 @@ class MonoConfig:
     # elementwise BN passes over (B, H, W, C) activations per forward.
     # Inference-only; the Trainer keeps live-statistics BN.
     fold_bn: bool = False
+    # Space-to-depth stem (ops/stem.py): run conv1 as a 4x4 stride-1
+    # conv on the 2x2-packed input (exact rewrite). Measured SLOWER on
+    # v5e (6.47 vs 5.26 ms at the judged b128 shape, bench/probe_stem2):
+    # the packed C=12 tensor under-fills the 128-lane tiles as badly as
+    # C=3, and the packing pass costs a full read+write of the input.
+    # Kept as the recorded experiment; engages on the folded inference
+    # path (fold_bn) when H and W are even. Default OFF by measurement.
+    s2d_stem: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,13 +91,22 @@ class StereoConfig:
     # preserves reference checkpoint-parity. VERDICT r1 next-#3.
     refine: bool = False
     # Soft-argmin temperature (softmax over -cost/τ); τ < 1 sharpens the
-    # readout — a mitigation for the high-LR uniform-softmax collapse
-    # (BASELINE.md round-1 training note). 1.0 = GC-Net convention.
+    # readout. 1.0 = GC-Net convention. Plain hyperparameter: the
+    # round-3 collapse study (BASELINE.md) reproduced the high-LR
+    # uniform-softmax collapse and measured τ=0.5 NOT rescuing it.
     softargmin_temperature: float = 1.0
+    # Weight of the Gaussian-smoothed cross-entropy auxiliary loss on
+    # the cost-volume softmax during supervised training
+    # (losses.disparity_classification_loss) — the structural anchor
+    # against the soft-argmin collapse (BASELINE.md round-3 rescue
+    # table). 0 = off (reference-parity default; build-side addition,
+    # AcfNet/stereo-focal-loss lineage).
+    aux_ce_weight: float = 0.0
     # Collapsed/packed inference execution of the aggregation U-Net
     # (ops/collapsed.collapsed_cost_aggregation): exact rewrite, zero
-    # extra pad copies. Inference programs only; ignored with ``refine``
-    # (aux heads need the module path). Default ON by measurement
+    # extra pad copies. Inference programs only; refine checkpoints ride
+    # it too since round 3 (ops/collapsed.refinement_forward — the aux
+    # cost heads are training-only). Default ON by measurement
     # (BASELINE.md): config-5 shape 343.9 → 716.9 fps/chip at b16
     # (+108%); neutral at b64 (1000 vs 1040) where large batch already
     # amortizes the module path's overheads.

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -117,6 +118,43 @@ def stereo_supervised_loss(
     v = valid.astype(jnp.float32)
     per_px = smooth_l1(pred_disp, gt_disp) * v
     return jnp.sum(per_px) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def disparity_classification_loss(
+    cost: jnp.ndarray,
+    gt_disp: jnp.ndarray,
+    valid: jnp.ndarray,
+    stride: int,
+    temperature: float = 1.0,
+    sigma: float = 1.0,
+) -> jnp.ndarray:
+    """Gaussian-smoothed cross-entropy on the cost-volume softmax — the
+    structural anchor against the soft-argmin uniform-softmax collapse
+    (AcfNet / stereo-focal-loss lineage; BASELINE.md round-3 collapse
+    study: at lr 1e-3 the regression loss alone collapses seed-
+    dependently and neither warmup nor temperature rescues it, because
+    the uniform softmax is a flat region of the REGRESSION loss — its
+    expectation stays D/2 under any symmetric perturbation. The CE term
+    breaks that flatness per-pixel.)
+
+    ``cost`` (B, h, w, D) matching-cost logits at feature resolution
+    (lower = better, the soft-argmin convention); ``gt_disp`` (B, H, W)
+    full-res px; ``valid`` (B, H, W) bool. The target distribution is a
+    normalized Gaussian over disparity bins centered at gt/stride.
+    """
+    d = cost.shape[-1]
+    gt_bin = gt_disp[:, ::stride, ::stride].astype(jnp.float32) / float(stride)
+    v = valid[:, ::stride, ::stride] & (gt_bin <= d - 1) & (gt_bin >= 0)
+    bins = jnp.arange(d, dtype=jnp.float32)
+    target = jax.nn.softmax(
+        -((bins - gt_bin[..., None]) ** 2) / (2.0 * sigma**2), axis=-1
+    )
+    logp = jax.nn.log_softmax(
+        -cost.astype(jnp.float32) / temperature, axis=-1
+    )
+    ce = -jnp.sum(target * logp, axis=-1)
+    vf = v.astype(jnp.float32)
+    return jnp.sum(ce * vf) / jnp.maximum(jnp.sum(vf), 1.0)
 
 
 def mono_temporal_selfsup_loss(

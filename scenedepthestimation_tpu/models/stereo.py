@@ -133,6 +133,10 @@ class Refinement(nn.Module):
     enabled refinement starts as the identity — training can only
     improve on the coarse readout, and the lr-collapse mode (a frozen
     constant readout) gains an escape path that bypasses the softmax.
+    PROVEN in the round-3 collapse study (BASELINE.md rescue table):
+    at lr 1e-3 seed 1 the plain model collapses to EPE 9.58 while
+    refine converges to 0.512 — the escape path is refinement's
+    measured value on the synthetic set.
     """
 
     max_disp: float
@@ -172,8 +176,15 @@ class StereoNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, left: jnp.ndarray, right: jnp.ndarray, return_aux: bool = False
+        self,
+        left: jnp.ndarray,
+        right: jnp.ndarray,
+        return_aux: bool = False,
+        return_cost: bool = False,
     ):
+        """``return_cost`` appends the refined cost logits (B, H/4, W/4,
+        D) to the returns — consumed by the disparity-classification
+        auxiliary loss (losses.disparity_classification_loss)."""
         b, h, w, c_in = left.shape
         # Fold the stereo pair into the batch axis for the shared tower —
         # one big conv beats two half-size calls on the MXU. Interleave as
@@ -229,8 +240,12 @@ class StereoNet(nn.Module):
         # interleave runs a 1-channel tensor at 1/128 lane utilization
         # (measured 3.7 ms at config 5 — bench/profile_stereo.py).
         disp = upsample4x_bilinear_packed(disp_q[..., None])[..., 0]
+        if return_aux and return_cost:
+            return disp, aux_full, refined
         if return_aux:
             return disp, aux_full
+        if return_cost:
+            return disp, refined
         return disp
 
 

@@ -37,11 +37,12 @@ def soft_argmin(
     softmax is taken over the negated cost.
 
     ``temperature`` scales the logits (softmax over -cost/τ). τ < 1
-    sharpens the distribution toward the hard argmin — a mitigation for
-    the uniform-softmax collapse observed at high LR (BASELINE.md round-1
-    training note): a flat cost volume under τ < 1 still produces
-    per-pixel gradients toward the best bin instead of freezing at the
-    D/2 expectation. τ = 1.0 is the GC-Net default (reference parity).
+    sharpens the distribution toward the hard argmin. τ = 1.0 is the
+    GC-Net default (reference parity). Plain hyperparameter: the
+    round-3 collapse study (BASELINE.md) reproduced the high-LR
+    uniform-softmax collapse and measured τ=0.5 NOT rescuing it — the
+    proven rescues are the refinement escape path and the
+    disparity-classification auxiliary loss.
     """
     use = _USE_PALLAS if use_pallas is None else use_pallas
     if use:

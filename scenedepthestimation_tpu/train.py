@@ -53,10 +53,13 @@ def make_lr_schedule(
 ):
     """LR schedule: reference-family step decay (monodepth2 drops LR 10x
     after ~3/4 of training; UNVERIFIED vs reference), optionally preceded
-    by a linear warmup — the mitigation for the high-LR soft-argmin
-    collapse (BASELINE.md round-1 note; VERDICT r1 next-#5): early large
-    steps on the randomly-initialized cost head are what flatten the
-    volume into the frozen uniform-softmax state."""
+    by a linear warmup. Warmup is a plain hyperparameter here, NOT a
+    collapse mitigation: the round-3 collapse study (BASELINE.md)
+    reproduced the high-LR soft-argmin collapse and measured warmup
+    failing to rescue it in both collapsing configs (it even
+    co-occurred with collapse at an otherwise-converging seed). The
+    proven structural rescues are ``stereo.refine`` and
+    ``stereo.aux_ce_weight``."""
     if scheduler == "step":
         base = optax.exponential_decay(
             learning_rate,
@@ -214,18 +217,25 @@ def make_stereo_train_step(cfg: RunConfig, augment: bool = False, crop: bool = F
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     net_hw = (cfg.stereo.height, cfg.stereo.width)
 
+    ce_w = cfg.stereo.aux_ce_weight
+
     def loss_fn(params, batch):
         if augment:
             batch = _augment_stereo_batch(batch, net_hw, crop)
         xl = preprocess(batch["left"], net_hw, cfg.pre, compute_dtype=dtype)
         xr = preprocess(batch["right"], net_hw, cfg.pre, compute_dtype=dtype)
         model = StereoNet(cfg=cfg.stereo, dtype=dtype)
-        if not cfg.stereo.refine:
-            disp = model.apply({"params": params}, xl, xr).astype(jnp.float32)
-            return losses.stereo_supervised_loss(
-                disp, batch["gt_disp"], batch["valid"]
-            )
-        disp, aux = model.apply({"params": params}, xl, xr, return_aux=True)
+        out = model.apply(
+            {"params": params},
+            xl,
+            xr,
+            return_aux=cfg.stereo.refine,
+            return_cost=ce_w > 0,
+        )
+        out = out if isinstance(out, tuple) else (out,)
+        disp, rest = out[0], list(out[1:])
+        cost = rest.pop() if ce_w > 0 else None
+        aux = rest.pop() if cfg.stereo.refine else []
         total = losses.stereo_supervised_loss(
             disp.astype(jnp.float32), batch["gt_disp"], batch["valid"]
         )
@@ -233,6 +243,16 @@ def make_stereo_train_step(cfg: RunConfig, augment: bool = False, crop: bool = F
             total = total + losses.stereo_supervised_loss(
                 a.astype(jnp.float32), batch["gt_disp"], batch["valid"]
             ) / (2.0 ** (k + 1))
+        if ce_w > 0:
+            # Structural anchor against the soft-argmin collapse
+            # (BASELINE.md round-3 rescue table).
+            total = total + ce_w * losses.disparity_classification_loss(
+                cost,
+                batch["gt_disp"],
+                batch["valid"],
+                stride=cfg.stereo.feat_stride,
+                temperature=cfg.stereo.softargmin_temperature,
+            )
         return total
 
     @jax.jit

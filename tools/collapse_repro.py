@@ -77,6 +77,12 @@ def main() -> int:
     ap.add_argument("--warmup-steps", type=int, default=0)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--refine", action="store_true")
+    ap.add_argument(
+        "--aux-ce",
+        type=float,
+        default=0.0,
+        help="disparity-classification CE weight (collapse anchor)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data", default=None, help="reuse an existing set")
     ap.add_argument("--log-every", type=int, default=250)
@@ -104,6 +110,7 @@ def main() -> int:
         feat_channels=32,
         refine=args.refine,
         softargmin_temperature=args.temperature,
+        aux_ce_weight=args.aux_ce,
     )
     cfg = dataclasses.replace(
         configs.get("stereo_256x512_b4"),
@@ -156,6 +163,7 @@ def main() -> int:
         "warmup_steps": args.warmup_steps,
         "temperature": args.temperature,
         "refine": args.refine,
+        "aux_ce": args.aux_ce,
         "steps": args.steps,
         "epe": round(epe_sum / count, 3),
         "d1_all": round(d1_sum / count, 4),
