@@ -150,6 +150,8 @@ def cmd_train(args: argparse.Namespace) -> int:
         stereo_overrides["refine"] = True
     if getattr(args, "softargmin_temperature", None) is not None:
         stereo_overrides["softargmin_temperature"] = args.softargmin_temperature
+    if getattr(args, "aux_ce_weight", None):
+        stereo_overrides["aux_ce_weight"] = args.aux_ce_weight
     if stereo_overrides:
         cfg = dataclasses.replace(
             cfg, stereo=dataclasses.replace(cfg.stereo, **stereo_overrides)
@@ -427,6 +429,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--refine",
         action="store_true",
         help="stereo: residual refinement + intermediate-scale supervision",
+    )
+    pt.add_argument(
+        "--aux-ce-weight",
+        type=float,
+        default=0.0,
+        help="stereo: Gaussian-smoothed CE on the cost-volume softmax — "
+        "the proven soft-argmin collapse anchor (BASELINE.md round 3)",
     )
     pt.add_argument(
         "--softargmin-temperature",

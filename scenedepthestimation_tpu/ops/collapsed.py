@@ -91,6 +91,27 @@ def set_use_nopad(flag: bool) -> None:
 # Same exact rewrite as level 1; A/B flag for the e2e bench.
 _COLLAPSE_HI: bool = False
 
+# Round-3 bordered-carry tail (ops/bordered.py): replace the per-op
+# border-strip assemblies of the y1p→dispconv chain with carried exact
+# border bands and ONE final assembly. The zero-border ceiling probe
+# measured the per-op assemblies at ~15 ms/iter of the judged config;
+# the tail carry recovers most of it: 1671 vs 1495 fps e2e (+11.8%).
+_USE_BORDERED: bool = True
+
+# Carry borders through the STANDARD levels 4..2 too (one width-reset
+# assembly per level). Measured SLOWER than the per-op v2 strips there
+# (1562 vs 1671 fps e2e): at the coarse grids the extra band convs and
+# per-level reset exceed the two strip assemblies they replace. Kept as
+# the recorded experiment; default OFF by measurement.
+_BORDERED_FULL: bool = False
+
+
+def set_use_bordered(flag: bool, full: bool | None = None) -> None:
+    global _USE_BORDERED, _BORDERED_FULL
+    _USE_BORDERED = flag
+    if full is not None:
+        _BORDERED_FULL = full
+
 
 def set_collapse_hi(flag: bool) -> None:
     global _COLLAPSE_HI
@@ -669,6 +690,47 @@ def collapsed_mono_decoder(
             return jax.nn.elu(y + b.astype(dtype))
         return conv3x3_xla(t.astype(dtype), k.astype(dtype), b.astype(dtype), "elu")
 
+    use_bordered = (
+        _USE_BORDERED
+        and _USE_NOPAD
+        and disp_variant == "packed"
+        and not _USE_FUSED_TAIL
+        and not _COLLAPSE_HI
+    )
+    full_bordered = (
+        use_bordered
+        and _BORDERED_FULL
+        and features[-1].shape[1] >= 8
+        and features[-1].shape[2] >= 8
+    )
+    if full_bordered:
+        # Full bordered-carry chain (ops/bordered.py): every level runs
+        # plain zero-pad convs plus thin exact bands, with ONE width
+        # reset (a small assembly) per level so bands stay thin — the
+        # carried width would otherwise double at every upsample.
+        from scenedepthestimation_tpu.ops import bordered as B
+
+        def bcb(name, btv):
+            k, b_ = p(name)
+            btv = B.bordered_conv3x3(btv, k.astype(dtype), mode="reflect")
+            bb_ = b_.astype(dtype)
+            return B.bordered_map(lambda v: jax.nn.elu(v + bb_), btv)
+
+        bt = B.bordered_from_exact(features[-1].astype(dtype))
+        for i in (4, 3, 2):
+            bt = bcb(f"upconv_{i}_0", bt)
+            bt = B.bordered_upsample_concat(
+                bt, features[i - 1].astype(dtype), mode=upsample_mode
+            )
+            bt = bcb(f"upconv_{i}_1", bt)
+            bt = B.bordered_from_exact(B.bordered_assemble(bt))
+        t = bcb("upconv_1_0", bt)  # Bordered, w = 1
+        k11, b11 = p("upconv_1_1")
+        dp = _bordered_tail(
+            p, t, features[0].astype(dtype), k11.astype(dtype), b11, c1, dtype
+        )
+        return _packed_head_epilogue(dp, disp_to_depth_minmax)
+
     x = features[-1]
     for i in (4, 3, 2):
         x = cb(f"upconv_{i}_0", x)
@@ -700,6 +762,13 @@ def collapsed_mono_decoder(
     t = cb("upconv_1_0", x)  # (B, H/4, W/4, c1)
     k11, b11 = p("upconv_1_1")
     k11 = k11.astype(dtype)
+    if use_bordered and t.shape[1] >= 16 and t.shape[2] >= 16:
+        # Tail-only carry (inputs too small for the full chain's coarse
+        # -level bands): levels 4..2 ran the per-op v2 path above.
+        dp = _bordered_tail(
+            p, t, features[0].astype(dtype), k11, b11, c1, dtype
+        )
+        return _packed_head_epilogue(dp, disp_to_depth_minmax)
     y1p = edge_conv(t, collapse_upsample_conv_kernel(k11[:, :, :c1, :]))
     y1p = y1p + skip_conv(
         features[0].astype(dtype),
@@ -789,6 +858,12 @@ def collapsed_mono_decoder(
     else:
         dp = edge_conv(y0p, kdp)
     dp = dp + jnp.tile(bd.astype(dtype), 4)  # (B, H/2, W/2, 4) logits
+    return _packed_head_epilogue(dp, disp_to_depth_minmax)
+
+
+def _packed_head_epilogue(dp: jnp.ndarray, disp_to_depth_minmax):
+    """Shared tail of the packed head: (B, H/2, W/2, 4) disparity logits
+    → (B, H, W, 1) sigmoid map, or the fused {disp, depth} pair."""
     if disp_to_depth_minmax is None:
         dp = jax.nn.sigmoid(dp.astype(jnp.float32))
         return depth_to_space(dp)  # (B, H, W, 1) fp32
@@ -807,3 +882,50 @@ def collapsed_mono_decoder(
         "disp": depth_to_space(scaled.reshape(bb, hh, ww, 4))[..., 0],
         "depth": depth_to_space(depth.reshape(bb, hh, ww, 4))[..., 0],
     }
+
+
+def _bordered_tail(p, t, f0, k11, b11, c1, dtype):
+    """y1p → u00 → d2s → u01 → dispconv with CARRIED borders
+    (ops/bordered.py): plain zero-pad interior convs at full speed plus
+    thin exact border bands, assembled ONCE at the packed logits instead
+    of per-op strip concats. Exact — tests/test_bordered.py pins the
+    result against the per-op v2 path. Returns (B, H/2, W/2, 4) logits
+    (bias applied)."""
+    from scenedepthestimation_tpu.ops import bordered as B
+
+    bt = B.bordered_y1p(
+        t,
+        f0,
+        collapse_upsample_conv_kernel(k11[:, :, :c1, :]),
+        strided_skip_conv_kernel(k11[:, :, c1:, :]),
+    )
+    b11t = jnp.tile(b11.astype(dtype), 4)
+    bt = B.bordered_map(lambda v: jax.nn.elu(v + b11t), bt)
+    k00, b00 = p("upconv_0_0")
+    bt = B.bordered_conv3x3(bt, pack_conv3x3_kernel(k00.astype(dtype)), "edge")
+    b00t = jnp.tile(b00.astype(dtype), 4)
+    bt = B.bordered_map(lambda v: jax.nn.elu(v + b00t), bt)
+    bt = B.bordered_d2s(bt)
+    k01, b01 = p("upconv_0_1")
+    bt = B.bordered_conv3x3(
+        bt, collapse_upsample_conv_kernel(k01.astype(dtype)), "edge"
+    )
+    b01t = jnp.tile(b01.astype(dtype), 4)
+    bt = B.bordered_map(lambda v: jax.nn.elu(v + b01t), bt)
+    kd, bd = p("dispconv_0")
+    kdp = pack_conv3x3_kernel(kd.astype(dtype))
+    mid_conv = None
+    if bt.mid.shape[2] % 32 == 0:
+        kcp = colpack_conv_kernel(kdp)
+
+        def mid_conv(xm):
+            bb, hh, ww, _ = xm.shape
+            return lax.conv_general_dilated(
+                xm, kcp, (1, 32), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(bb, hh, ww, 4)
+
+    bt = B.bordered_conv3x3(bt, kdp, "edge", mid_conv=mid_conv)
+    bdt = jnp.tile(bd.astype(dtype), 4)
+    bt = B.bordered_map(lambda v: v + bdt, bt)
+    return B.bordered_assemble(bt)
