@@ -78,6 +78,27 @@ def test_full_bordered_chain_matches_v2():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_full_bordered_chain_asymmetric_shape():
+    """H != W through the full chain — catches any row/col transposition
+    in the band halos, upsample_concat band slices, or widen."""
+    cfg = MonoConfig(height=256, width=320, dec_channels=(4, 8, 8, 8, 8))
+    model = MonoDepthNet(cfg=cfg)
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(1, 256, 320, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = ResNetEncoder(num_layers=cfg.num_layers).apply(
+        {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        },
+        x,
+    )
+    want = np.asarray(_decoder_out(variables, feats, cfg, False))
+    got = np.asarray(_decoder_out(variables, feats, cfg, True, full=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_bordered_conv3x3_reflect_matches_nopad():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(0, 1, (2, 24, 40, 8)).astype(np.float32))
