@@ -85,7 +85,7 @@ class ResNetEncoder(nn.Module):
 
     def __init__(self, num_layers: int = 18):
         super().__init__()
-        assert num_layers in (18, 50)
+        assert num_layers in (18, 34, 50)
         self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.maxpool = nn.MaxPool2d(3, 2, 1)
