@@ -66,6 +66,43 @@ def test_ce_ignores_invalid_and_out_of_range():
     assert none == 0.0
 
 
+def test_stereo_train_step_refine_plus_aux_ce():
+    """Both flags together: returns are (disp, aux, cost) — pin the
+    unpacking order and that the combined loss is finite and descends."""
+    cfg = configs.get("stereo_256x512_b4")
+    stereo = dataclasses.replace(
+        cfg.stereo,
+        height=32,
+        width=64,
+        max_disp=16,
+        feat_channels=8,
+        agg_channels=(8, 8, 8, 8),
+        refine=True,
+        aux_ce_weight=0.5,
+    )
+    cfg = dataclasses.replace(cfg, batch_size=2, stereo=stereo, dtype="float32")
+    rng = np.random.default_rng(4)
+    batch = {
+        "left": jnp.asarray(
+            rng.integers(0, 256, (2, 32, 64, 3), dtype=np.uint8)
+        ),
+        "right": jnp.asarray(
+            rng.integers(0, 256, (2, 32, 64, 3), dtype=np.uint8)
+        ),
+        "gt_disp": jnp.asarray(
+            rng.uniform(0, 12, (2, 32, 64)).astype(np.float32)
+        ),
+        "valid": jnp.ones((2, 32, 64), bool),
+    }
+    state = train.make_train_state(cfg, seed=0, learning_rate=1e-3)
+    step = train.make_stereo_train_step(cfg)
+    state, m0 = step(state, batch)
+    assert np.isfinite(float(m0["loss"]))
+    for _ in range(5):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+
+
 def test_stereo_train_step_with_aux_ce_runs_and_descends():
     cfg = configs.get("stereo_256x512_b4")
     stereo = dataclasses.replace(
