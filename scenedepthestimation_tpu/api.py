@@ -112,6 +112,7 @@ def build_mono_program(
             dec_channels=cfg.mono.dec_channels,
             upsample_mode=cfg.mono.upsample_mode,
             dtype=dtype,
+            border_mode="fast" if cfg.mono.fast_borders else "exact",
         )
 
     def program(variables, img):
@@ -133,6 +134,7 @@ def build_mono_program(
                 upsample_mode=cfg.mono.upsample_mode,
                 dtype=dtype,
                 disp_to_depth_minmax=(cfg.mono.min_depth, cfg.mono.max_depth),
+                border_mode="fast" if cfg.mono.fast_borders else "exact",
             )
         if post_process:
             x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
@@ -163,6 +165,18 @@ def _blend_flipped(disp: jnp.ndarray, disp_flip: jnp.ndarray) -> jnp.ndarray:
     return r_mask * disp + l_mask * disp_flip + (1.0 - l_mask - r_mask) * mean
 
 
+# Preprocess + feature tower run once over the interleaved (2B, ...)
+# pair instead of per-view: same math, half the fixed per-op cost at
+# small batch (ROADMAP r3 #2). Module-global so bench/probe_paired.py
+# can A/B it; flipped only for measurement, never at serving time.
+_PAIRED_PRE: bool = True
+
+
+def set_paired_pre(flag: bool) -> None:
+    global _PAIRED_PRE
+    _PAIRED_PRE = flag
+
+
 def build_stereo_program(cfg: RunConfig, model: StereoNet):
     """Un-jitted end-to-end stereo program (SURVEY §3.2)."""
     net_hw = (cfg.stereo.height, cfg.stereo.width)
@@ -179,9 +193,10 @@ def build_stereo_program(cfg: RunConfig, model: StereoNet):
         and (cfg.stereo.width // cfg.stereo.feat_stride) % 8 == 0
     )
 
-    def forward(variables, xl, xr):
-        if not use_packed_agg:
-            return model.apply(variables, xl, xr)
+    def forward_pair(variables, pair):
+        """Packed-agg forward from the INTERLEAVED (2B, h, w, c) pair —
+        the tower consumes the preprocessed stack directly, no
+        unstack/restack round trip between preprocess and tower."""
         from scenedepthestimation_tpu.models.stereo import FeatureTower
         from scenedepthestimation_tpu.ops.collapsed import (
             collapsed_cost_aggregation,
@@ -193,9 +208,7 @@ def build_stereo_program(cfg: RunConfig, model: StereoNet):
         )
 
         s = cfg.stereo
-        b, h, w, c_in = xl.shape
-        # Shard-local pair interleave — mirrors StereoNet.__call__.
-        pair = jnp.stack([xl, xr], axis=1).reshape(2 * b, h, w, c_in)
+        b = pair.shape[0] // 2
         feats = FeatureTower(
             channels=s.feat_channels, dtype=dtype, name="tower"
         ).apply({"params": variables["params"]["tower"]}, pair)
@@ -224,10 +237,38 @@ def build_stereo_program(cfg: RunConfig, model: StereoNet):
             )
         return upsample4x_bilinear_packed(q[..., None])[..., 0]
 
+    def forward(variables, xl, xr):
+        if not use_packed_agg:
+            return model.apply(variables, xl, xr)
+        b, h, w, c_in = xl.shape
+        # Shard-local pair interleave — mirrors StereoNet.__call__.
+        pair = jnp.stack([xl, xr], axis=1).reshape(2 * b, h, w, c_in)
+        return forward_pair(variables, pair)
+
     def program(variables, left, right):
-        xl = preprocess(left, net_hw, cfg.pre, compute_dtype=dtype)
-        xr = preprocess(right, net_hw, cfg.pre, compute_dtype=dtype)
-        disp = forward(variables, xl, xr)  # (B, h, w) px @ net res
+        b = left.shape[0]
+        if _PAIRED_PRE:
+            # One preprocess over the interleaved pair instead of two
+            # calls: same math, half the fixed per-op cost — the b2
+            # stage profile showed preprocess x2 among the small-batch
+            # overheads (BASELINE.md round-3 config-5 splits). The
+            # (B, 2, ...) -> (2B) interleave is shard-local under batch
+            # DP (same argument as the tower fold in models/stereo.py);
+            # under packed agg the interleaved stack feeds the tower
+            # directly — no unstack/restack between preprocess and
+            # tower.
+            pair = jnp.stack([left, right], axis=1)
+            pair = pair.reshape((2 * b,) + pair.shape[2:])
+            xp = preprocess(pair, net_hw, cfg.pre, compute_dtype=dtype)
+            if use_packed_agg:
+                disp = forward_pair(variables, xp)
+            else:
+                xp = xp.reshape((b, 2) + xp.shape[1:])
+                disp = forward(variables, xp[:, 0], xp[:, 1])
+        else:
+            xl = preprocess(left, net_hw, cfg.pre, compute_dtype=dtype)
+            xr = preprocess(right, net_hw, cfg.pre, compute_dtype=dtype)
+            disp = forward(variables, xl, xr)  # (B, h, w) px @ net res
         disp = disp.astype(jnp.float32)
         src_hw = left.shape[-3:-1]
         if tuple(src_hw) != net_hw:

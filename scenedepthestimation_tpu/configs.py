@@ -52,6 +52,14 @@ class MonoConfig:
     # programs (api.build_mono_program falls back automatically when the
     # preconditions fail); training always uses the standard decoder.
     packed_decoder: bool = True
+    # OPT-IN fast-border serving mode (ops/collapsed.py border_mode
+    # 'fast'): every decoder conv runs with plain zero padding — no
+    # border strips, no bordered carry. Deviates from the reference's
+    # reflect-border semantics in a band near the image borders (the
+    # interior is identical); the measured abs-rel impact and fps gain
+    # are recorded in BASELINE.md. Default OFF: the exact path holds
+    # bit-parity with the reference decoder everywhere.
+    fast_borders: bool = False
     # Fold BatchNorm statistics into the encoder conv weights for
     # inference programs (models/folded.py): removes ~10 separate
     # elementwise BN passes over (B, H, W, C) activations per forward.
@@ -245,6 +253,24 @@ STEREO_KITTI2015_B16_BF16_V5E8_C128 = RunConfig(
     stereo=StereoConfig(height=384, width=1152, feat_channels=128),
 )
 
+# Opt-in LATENCY serving variant (ROADMAP r3 #2): config-5 shape at the
+# literal b2/chip operating point with a halved disparity range
+# (max_disp 96 → D=24 at stride 4). Halves the correlation sweep and
+# the aggregation's input channels. Like the _c128 preset this is an
+# ARCHITECTURE change (the agg head's input width depends on D — not
+# reference-checkpoint compatible), hence opt-in, never a default.
+# KITTI 2015 disparities reach ~230 px at the native 1242-px width;
+# at 1152 px the 192-px preset covers the standard protocol, the 96-px
+# variant trades range for latency (fine for mid/far scenes; measured
+# fps in BASELINE.md).
+STEREO_KITTI2015_LATENCY_D96 = RunConfig(
+    name="stereo_kitti2015_latency_d96",
+    pipeline="stereo",
+    batch_size=2,
+    dtype="bfloat16",
+    stereo=StereoConfig(height=384, width=1152, max_disp=96),
+)
+
 # Benchmark config: the judged metric is KITTI frames/sec/chip at 384x1152
 # (BASELINE.json:2) — monocular flagship shape. b128 measured fastest on
 # v5e-1 (262 fps @ b8 → 1113 fps @ b128 round 1; decoder's small-channel
@@ -266,6 +292,7 @@ PRESETS = {
         STEREO_256x512_B4,
         STEREO_KITTI2015_B16_BF16_V5E8,
         STEREO_KITTI2015_B16_BF16_V5E8_C128,
+        STEREO_KITTI2015_LATENCY_D96,
         MONO_KITTI_384x1152_BENCH,
     )
 }

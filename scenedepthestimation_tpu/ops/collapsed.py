@@ -105,12 +105,21 @@ _USE_BORDERED: bool = True
 # the recorded experiment; default OFF by measurement.
 _BORDERED_FULL: bool = False
 
+# Start the tail carry ONE conv earlier, at upconv_1_0 (u10): removes
+# u10's strip assembly (+2.0 ms isolated, probe_border_cost) for one
+# extra width unit through the tail bands.
+_BORDERED_U10: bool = False
 
-def set_use_bordered(flag: bool, full: bool | None = None) -> None:
-    global _USE_BORDERED, _BORDERED_FULL
+
+def set_use_bordered(
+    flag: bool, full: bool | None = None, u10: bool | None = None
+) -> None:
+    global _USE_BORDERED, _BORDERED_FULL, _BORDERED_U10
     _USE_BORDERED = flag
     if full is not None:
         _BORDERED_FULL = full
+    if u10 is not None:
+        _BORDERED_U10 = u10
 
 
 def set_collapse_hi(flag: bool) -> None:
@@ -637,6 +646,24 @@ def refinement_forward(
     return disp_q + r[..., 0].astype(jnp.float32) * max_disp
 
 
+def _conv3x3_zero(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Plain ZERO-padded 3x3 conv — the fast-border serving form: the
+    zero pad folds into the conv (no copy, no strips). Numerically wrong
+    at the reflect/edge borders; see ``border_mode='fast'``."""
+    return lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _strided_skip_conv_zero(x: jnp.ndarray, kernel4: jnp.ndarray) -> jnp.ndarray:
+    """Zero-border form of :func:`strided_skip_conv` (fast mode)."""
+    return lax.conv_general_dilated(
+        x, kernel4, (2, 2), ((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def collapsed_mono_decoder(
     dec_params,
     features,
@@ -645,6 +672,7 @@ def collapsed_mono_decoder(
     dtype=jnp.float32,
     disp_variant: str = "packed",
     disp_to_depth_minmax=None,
+    border_mode: str = "exact",
 ) -> jnp.ndarray:
     """Scale-0 disparity with levels 1 and 0 in collapsed/packed layout.
 
@@ -669,11 +697,23 @@ def collapsed_mono_decoder(
     not commute).
     """
     assert upsample_mode == "nearest", "collapse requires nearest upsample"
+    assert border_mode in ("exact", "fast")
+    # border_mode='fast' (opt-in, MonoConfig.fast_borders): every conv
+    # runs with plain ZERO padding — no strips, no bordered carry, no
+    # assemblies. The round-3 ceiling probe productized: deviates from
+    # the reference's reflect-border semantics in a band near the image
+    # borders (interior bit-identical; measured abs-rel impact in
+    # BASELINE.md) and buys the ~8% the border machinery costs.
+    fast = border_mode == "fast"
     c0, c1 = dec_channels[0], dec_channels[1]
     # v2 (strip-concat assembly) is the measured round-3 winner; the v3
     # additive-correction form regressed e2e (see conv3x3_nopad notes).
-    edge_conv = conv3x3_edge_v2 if _USE_NOPAD else conv3x3_edge
-    skip_conv = strided_skip_conv_v2 if _USE_NOPAD else strided_skip_conv
+    if fast:
+        edge_conv = _conv3x3_zero
+        skip_conv = _strided_skip_conv_zero
+    else:
+        edge_conv = conv3x3_edge_v2 if _USE_NOPAD else conv3x3_edge
+        skip_conv = strided_skip_conv_v2 if _USE_NOPAD else strided_skip_conv
 
     def p(name):
         q = dec_params[name]["conv"]
@@ -681,6 +721,9 @@ def collapsed_mono_decoder(
 
     def cb(name, t):  # standard ConvBlock: reflect-border conv3x3 + ELU
         k, b = p(name)
+        if fast:
+            y = _conv3x3_zero(t.astype(dtype), k.astype(dtype))
+            return jax.nn.elu(y + b.astype(dtype))
         if _USE_NOPAD:
             # Zero-pad conv + reflect border strips — same rewrite as the
             # collapsed levels, applied to the standard-level ConvBlocks
@@ -692,6 +735,7 @@ def collapsed_mono_decoder(
 
     use_bordered = (
         _USE_BORDERED
+        and not fast
         and _USE_NOPAD
         and disp_variant == "packed"
         and not _USE_FUSED_TAIL
@@ -759,10 +803,30 @@ def collapsed_mono_decoder(
     # reads features[0] directly through the stride-2 4x4 form (no s2d
     # pass, 16/9 taps instead of the packed conv's 4x). Both emit the
     # same packed output layout, so they sum before the shared bias+ELU.
-    t = cb("upconv_1_0", x)  # (B, H/4, W/4, c1)
+    if (
+        use_bordered
+        and _BORDERED_U10
+        and x.shape[1] >= 16
+        and x.shape[2] >= 16
+    ):
+        # Start the carry at u10: one more width unit through the tail
+        # bands buys away u10's strip assembly.
+        from scenedepthestimation_tpu.ops import bordered as B
+
+        k10, b10 = p("upconv_1_0")
+        tb = B.bordered_conv3x3(
+            B.bordered_from_exact(x.astype(dtype)),
+            k10.astype(dtype),
+            mode="reflect",
+        )
+        b10c = b10.astype(dtype)
+        t = B.bordered_map(lambda v: jax.nn.elu(v + b10c), tb)
+    else:
+        t = cb("upconv_1_0", x)  # (B, H/4, W/4, c1)
     k11, b11 = p("upconv_1_1")
     k11 = k11.astype(dtype)
-    if use_bordered and t.shape[1] >= 16 and t.shape[2] >= 16:
+    tm = t.mid if not isinstance(t, jnp.ndarray) else t
+    if use_bordered and tm.shape[1] >= 16 and tm.shape[2] >= 16:
         # Tail-only carry (inputs too small for the full chain's coarse
         # -level bands): levels 4..2 ran the per-op v2 path above.
         dp = _bordered_tail(
@@ -851,7 +915,13 @@ def collapsed_mono_decoder(
         # utilization. With _USE_NOPAD the edge border comes from strip
         # assembly instead of a materialized pad (probe_pad.py measured
         # that pad at +13 ms).
-        if _USE_NOPAD:
+        if fast:
+            bb_, hh_, ww_, _ = y0p.shape
+            dp = lax.conv_general_dilated(
+                y0p, colpack_conv_kernel(kdp), (1, 32), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(bb_, hh_, ww_, 4)
+        elif _USE_NOPAD:
             dp = colpack_conv_edge_v2(y0p, kdp)
         else:
             dp = colpack_conv_edge(y0p, colpack_conv_kernel(kdp), 4)

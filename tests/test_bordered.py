@@ -12,8 +12,10 @@ from scenedepthestimation_tpu.ops import bordered as B
 from scenedepthestimation_tpu.ops import collapsed
 
 
-def _decoder_out(variables, feats, cfg, use_bordered, minmax=None, full=False):
-    collapsed.set_use_bordered(use_bordered, full=full)
+def _decoder_out(
+    variables, feats, cfg, use_bordered, minmax=None, full=False, u10=False
+):
+    collapsed.set_use_bordered(use_bordered, full=full, u10=u10)
     try:
         return collapsed.collapsed_mono_decoder(
             variables["params"]["decoder"],
@@ -23,7 +25,7 @@ def _decoder_out(variables, feats, cfg, use_bordered, minmax=None, full=False):
             disp_to_depth_minmax=minmax,
         )
     finally:
-        collapsed.set_use_bordered(True, full=False)
+        collapsed.set_use_bordered(True, full=False, u10=False)
 
 
 def test_bordered_tail_matches_v2_strip_path():
@@ -75,6 +77,26 @@ def test_full_bordered_chain_matches_v2():
     assert feats[-1].shape[1] >= 8  # full-chain gate engaged
     want = np.asarray(_decoder_out(variables, feats, cfg, False))
     got = np.asarray(_decoder_out(variables, feats, cfg, True, full=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bordered_u10_carry_matches_v2():
+    """Carry started at upconv_1_0 (_BORDERED_U10) == the v2 path."""
+    cfg = MonoConfig(height=64, width=128)
+    model = MonoDepthNet(cfg=cfg)
+    x = jnp.asarray(
+        np.random.default_rng(13).normal(size=(2, 64, 128, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = ResNetEncoder(num_layers=cfg.num_layers).apply(
+        {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        },
+        x,
+    )
+    want = np.asarray(_decoder_out(variables, feats, cfg, False))
+    got = np.asarray(_decoder_out(variables, feats, cfg, True, u10=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 

@@ -113,6 +113,91 @@ def test_stereo_program_packed_agg_matches_module():
     np.testing.assert_allclose(outs[True], outs[False], atol=1e-4)
 
 
+def test_stereo_program_paired_pre_matches_per_view():
+    """api._PAIRED_PRE (one preprocess+tower pass over the interleaved
+    pair) == the per-view preprocess path, both packed and module."""
+    import dataclasses
+
+    from scenedepthestimation_tpu import api, configs
+
+    base = configs.get("stereo_256x512_b4")
+    base = dataclasses.replace(
+        base,
+        stereo=dataclasses.replace(
+            base.stereo, height=64, width=128, max_disp=32, feat_channels=16
+        ),
+    )
+    rng = np.random.default_rng(21)
+    # Source res != net res so the paired preprocess really resizes.
+    left = rng.integers(0, 256, (2, 96, 160, 3), dtype=np.uint8)
+    right = rng.integers(0, 256, (2, 96, 160, 3), dtype=np.uint8)
+
+    for packed in (False, True):
+        cfg = dataclasses.replace(
+            base, stereo=dataclasses.replace(base.stereo, packed_agg=packed)
+        )
+        predictor = api.load_weights(None, cfg, seed=0)
+        program = api.build_stereo_program(cfg, predictor.model)
+        outs = {}
+        for paired in (False, True):
+            api.set_paired_pre(paired)
+            try:
+                outs[paired] = np.asarray(
+                    program(
+                        predictor.variables,
+                        jnp.asarray(left),
+                        jnp.asarray(right),
+                    )["disp"]
+                )
+            finally:
+                api.set_paired_pre(True)
+        np.testing.assert_allclose(outs[True], outs[False], atol=1e-5)
+
+
+def test_fast_borders_interior_matches_exact():
+    """border_mode='fast' (MonoConfig.fast_borders): zero-pad borders
+    everywhere. The interior — pixels whose receptive field through the
+    decoder never touches an image border — must be IDENTICAL to the
+    exact path; only a border band may differ."""
+    cfg = MonoConfig(height=256, width=512)
+    model = MonoDepthNet(cfg=cfg)
+    x = jnp.asarray(
+        np.random.default_rng(31).normal(size=(1, 256, 512, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x)
+    from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+
+    feats = ResNetEncoder(num_layers=cfg.num_layers).apply(
+        {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        },
+        x,
+    )
+    outs = {}
+    for mode in ("exact", "fast"):
+        outs[mode] = np.asarray(
+            collapsed.collapsed_mono_decoder(
+                variables["params"]["decoder"],
+                feats,
+                dec_channels=cfg.dec_channels,
+                dtype=jnp.float32,
+                border_mode=mode,
+            )
+        )
+    assert outs["fast"].shape == outs["exact"].shape
+    assert np.isfinite(outs["fast"]).all()
+    # Border error propagates ~1 px per conv at each level's own
+    # resolution; ~49 px at H/2 = ~100 full-res px is a safe band.
+    m = 104
+    np.testing.assert_allclose(
+        outs["fast"][:, m:-m, m:-m], outs["exact"][:, m:-m, m:-m], atol=1e-6
+    )
+    # ... and the band really is where the two modes differ (sanity that
+    # the flag actually changed the program).
+    assert np.abs(outs["fast"] - outs["exact"]).max() > 1e-6
+
+
 def test_collapsed_cost_aggregation_matches_module():
     """Stereo agg U-Net: collapsed/packed inference rewrite == module."""
     from scenedepthestimation_tpu.models.stereo import CostAggregation
