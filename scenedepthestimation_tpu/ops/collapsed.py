@@ -110,16 +110,27 @@ _BORDERED_FULL: bool = False
 # extra width unit through the tail bands.
 _BORDERED_U10: bool = False
 
+# Start the carry TWO convs earlier, at upconv_2_1 (u21) — the largest
+# strip assembly outside the tail (+3.67 ms isolated). Levels 4..3 keep
+# the per-op strips (their coarse grids are where the full chain lost);
+# the carry then runs u21 → u10 → tail with final band width 10.
+_BORDERED_U21: bool = False
+
 
 def set_use_bordered(
-    flag: bool, full: bool | None = None, u10: bool | None = None
+    flag: bool,
+    full: bool | None = None,
+    u10: bool | None = None,
+    u21: bool | None = None,
 ) -> None:
-    global _USE_BORDERED, _BORDERED_FULL, _BORDERED_U10
+    global _USE_BORDERED, _BORDERED_FULL, _BORDERED_U10, _BORDERED_U21
     _USE_BORDERED = flag
     if full is not None:
         _BORDERED_FULL = full
     if u10 is not None:
         _BORDERED_U10 = u10
+    if u21 is not None:
+        _BORDERED_U21 = u21
 
 
 def set_collapse_hi(flag: bool) -> None:
@@ -776,7 +787,14 @@ def collapsed_mono_decoder(
         return _packed_head_epilogue(dp, disp_to_depth_minmax)
 
     x = features[-1]
-    for i in (4, 3, 2):
+    u21_carry = (
+        use_bordered
+        and _BORDERED_U21
+        and features[1].shape[1] >= 32
+        and features[1].shape[2] >= 32
+    )
+    levels = (4, 3) if u21_carry else (4, 3, 2)
+    for i in levels:
         x = cb(f"upconv_{i}_0", x)
         if _COLLAPSE_HI:
             # Same collapse as level 1: fold the nearest upsample into
@@ -803,7 +821,26 @@ def collapsed_mono_decoder(
     # reads features[0] directly through the stride-2 4x4 form (no s2d
     # pass, 16/9 taps instead of the packed conv's 4x). Both emit the
     # same packed output layout, so they sum before the shared bias+ELU.
-    if (
+    if u21_carry:
+        # Carry from u21: level 2's conv runs bordered (w 0→1), u10 rides
+        # the same carry (w→2), the tail takes it from there (final w 10).
+        from scenedepthestimation_tpu.ops import bordered as B
+
+        x = cb("upconv_2_0", x)
+        x = upsample_concat(x, features[1], mode=upsample_mode)
+        k21, b21 = p("upconv_2_1")
+        bt21 = B.bordered_conv3x3(
+            B.bordered_from_exact(x.astype(dtype)),
+            k21.astype(dtype),
+            mode="reflect",
+        )
+        b21c = b21.astype(dtype)
+        bt21 = B.bordered_map(lambda v: jax.nn.elu(v + b21c), bt21)
+        k10, b10 = p("upconv_1_0")
+        tb10 = B.bordered_conv3x3(bt21, k10.astype(dtype), mode="reflect")
+        b10c = b10.astype(dtype)
+        t = B.bordered_map(lambda v: jax.nn.elu(v + b10c), tb10)
+    elif (
         use_bordered
         and _BORDERED_U10
         and x.shape[1] >= 16

@@ -13,9 +13,10 @@ from scenedepthestimation_tpu.ops import collapsed
 
 
 def _decoder_out(
-    variables, feats, cfg, use_bordered, minmax=None, full=False, u10=False
+    variables, feats, cfg, use_bordered, minmax=None, full=False, u10=False,
+    u21=False,
 ):
-    collapsed.set_use_bordered(use_bordered, full=full, u10=u10)
+    collapsed.set_use_bordered(use_bordered, full=full, u10=u10, u21=u21)
     try:
         return collapsed.collapsed_mono_decoder(
             variables["params"]["decoder"],
@@ -25,7 +26,7 @@ def _decoder_out(
             disp_to_depth_minmax=minmax,
         )
     finally:
-        collapsed.set_use_bordered(True, full=False, u10=False)
+        collapsed.set_use_bordered(True, full=False, u10=False, u21=False)
 
 
 def test_bordered_tail_matches_v2_strip_path():
@@ -98,6 +99,37 @@ def test_bordered_u10_carry_matches_v2():
     want = np.asarray(_decoder_out(variables, feats, cfg, False))
     got = np.asarray(_decoder_out(variables, feats, cfg, True, u10=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bordered_u21_carry_matches_v2():
+    """Carry started at upconv_2_1 (_BORDERED_U21) == the v2 path.
+    Input large enough to pass the f1 >= 32 gate (asymmetric shape)."""
+    cfg = MonoConfig(height=128, width=256, dec_channels=(4, 8, 8, 8, 8))
+    model = MonoDepthNet(cfg=cfg)
+    x = jnp.asarray(
+        np.random.default_rng(17).normal(size=(1, 128, 256, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = ResNetEncoder(num_layers=cfg.num_layers).apply(
+        {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        },
+        x,
+    )
+    assert feats[1].shape[1] >= 32 and feats[1].shape[2] >= 32
+    want = np.asarray(_decoder_out(variables, feats, cfg, False))
+    got = np.asarray(_decoder_out(variables, feats, cfg, True, u21=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # Fused disp→depth epilogue rides the same carry.
+    want_m = _decoder_out(variables, feats, cfg, False, minmax=(0.1, 100.0))
+    got_m = _decoder_out(variables, feats, cfg, True, u21=True, minmax=(0.1, 100.0))
+    for key in ("disp", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(got_m[key]), np.asarray(want_m[key]),
+            atol=1e-5, rtol=1e-5, err_msg=key,
+        )
 
 
 def test_full_bordered_chain_asymmetric_shape():
