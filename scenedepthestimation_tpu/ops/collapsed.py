@@ -59,16 +59,19 @@ from scenedepthestimation_tpu.ops.packed import (
 )
 from scenedepthestimation_tpu.ops.upsample import upsample_concat
 
-# Fused Pallas u00→u01 tail chain (ops/pallas/fused_tail.py).
-# Default OFF by measurement (b128 judged config): the kernel runs the
-# chain in one VMEM pass but its stage-2 double-packed conv sustains
-# only half MXU utilization (9 separate K=64 dots) — 29 ms vs the XLA
-# chain's 16.7, e2e 1164 fps vs 1327 (BASELINE.md round-2 notes).
-# Kernel + tests kept; None = False until an im2col variant wins.
-_USE_FUSED_TAIL: bool | None = None
+# Fused Pallas u00→u01 tail chain. Values: None/False = XLA chain;
+# True = ops/pallas/fused_tail.py (v1, per-tap dots); "v2" =
+# ops/pallas/fused_tail_v2.py (per-phase dense dots). v1 is OFF by
+# measurement (b128 judged config): one VMEM pass but only half MXU
+# utilization in its stage-2 (9 separate K=64 dots) — 29 ms vs the XLA
+# chain's 16.7, e2e 1164 fps vs 1327 (BASELINE.md round-2 notes). v2 is
+# the round-3 im2col revival: ky merged into K by row-offset lane
+# concat, kx into N by kernel pre-concat, structural zeros dropped by
+# per-phase window slicing (8 MXU pass-units vs v1's 27).
+_USE_FUSED_TAIL: bool | str | None = None
 
 
-def set_use_fused_tail(flag: bool | None) -> None:
+def set_use_fused_tail(flag: bool | str | None) -> None:
     global _USE_FUSED_TAIL
     _USE_FUSED_TAIL = flag
 
@@ -883,15 +886,22 @@ def collapsed_mono_decoder(
     k01, b01 = p("upconv_0_1")
     use_fused = bool(_USE_FUSED_TAIL)
     if use_fused:
-        from scenedepthestimation_tpu.ops.pallas import fused_tail
+        if _USE_FUSED_TAIL == "v2":
+            from scenedepthestimation_tpu.ops.pallas import fused_tail_v2
 
-        use_fused = 0 < fused_tail._pick_th(
+            fused_mod, fused_fn = (
+                fused_tail_v2, fused_tail_v2.fused_tail_pallas_v2,
+            )
+        else:
+            from scenedepthestimation_tpu.ops.pallas import fused_tail
+
+            fused_mod, fused_fn = fused_tail, fused_tail.fused_tail_pallas
+        use_fused = 0 < fused_mod._pick_th(
             y1p.shape[1], y1p.shape[2], y1p.shape[3], 4 * c0, 16 * c0,
             jnp.dtype(dtype).itemsize,
         )
     if use_fused:
-        assert disp_to_depth_minmax is None
-        y0pp = fused_tail.fused_tail_pallas(
+        y0pp = fused_fn(
             y1p,
             pack_conv3x3_kernel(k00.astype(dtype)),
             jnp.tile(b00.astype(dtype), 4),
@@ -902,6 +912,7 @@ def collapsed_mono_decoder(
         )  # (B, H/4, W/4, 16*c0) = DOUBLE-packed u01 output
         kd, bd = p("dispconv_0")
         if disp_variant == "fullres":
+            assert disp_to_depth_minmax is None
             y0 = depth_to_space(depth_to_space(y0pp))  # (B, H, W, c0)
             d = conv3x3_xla(y0, kd.astype(dtype), bd.astype(dtype), "none")
             return jax.nn.sigmoid(d.astype(jnp.float32))
@@ -918,10 +929,25 @@ def collapsed_mono_decoder(
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        dp2 = jax.nn.sigmoid(
-            (dp2 + jnp.tile(bd.astype(dtype), 16)).astype(jnp.float32)
-        )  # (B, H/4, W/4, 16) double-packed disparity
-        return depth_to_space(depth_to_space(dp2))  # (B, H, W, 1) fp32
+        dp2 = dp2 + jnp.tile(bd.astype(dtype), 16)
+        # (B, H/4, W/4, 16) double-packed disparity logits
+        if disp_to_depth_minmax is None:
+            dp2 = jax.nn.sigmoid(dp2.astype(jnp.float32))
+            return depth_to_space(depth_to_space(dp2))  # (B, H, W, 1) fp32
+        # Fused disp→depth epilogue on the merged-minor DOUBLE-packed
+        # view — same trick as _packed_head_epilogue, one more unpack.
+        bb, hh, ww, _ = dp2.shape
+        sig = jax.nn.sigmoid(dp2.reshape(bb, hh, ww * 16).astype(jnp.float32))
+        from scenedepthestimation_tpu.ops.disp_to_depth import disp_to_depth
+
+        scaled, depth = disp_to_depth(sig, *disp_to_depth_minmax)
+
+        def unpack2(v):
+            return depth_to_space(
+                depth_to_space(v.reshape(bb, hh, ww, 16))
+            )[..., 0]
+
+        return {"disp": unpack2(scaled), "depth": unpack2(depth)}
     else:
         zp = jax.nn.elu(
             edge_conv(y1p, pack_conv3x3_kernel(k00.astype(dtype)))
