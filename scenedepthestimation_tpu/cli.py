@@ -306,6 +306,15 @@ def cmd_bench(args: argparse.Namespace) -> int:
     if getattr(args, "stream", False):
         print(json.dumps(benchmark.run_stream_bench(depth=args.stream_depth)))
         return 0
+    if getattr(args, "train", None):
+        result = benchmark.run_train_bench(
+            config=_resolve_config(args.config, args),
+            mode=args.train,
+            batch_size=args.batch_size,
+            iters=args.iters,
+        )
+        print(json.dumps(result))
+        return 0
     result = benchmark.run_bench(
         config=_resolve_config(args.config, args), batch_size=args.batch_size, iters=args.iters
     )
@@ -361,6 +370,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--stream",
         action="store_true",
         help="b=1 async stream serving: naive vs pipelined vs device bound",
+    )
+    pb.add_argument(
+        "--train",
+        choices=["supervised", "selfsup"],
+        default=None,
+        help="time the jitted train step (steps/s + frames/s) instead "
+        "of inference",
     )
     pb.add_argument(
         "--stream-depth",

@@ -73,6 +73,16 @@ class MonoConfig:
     # Kept as the recorded experiment; engages on the folded inference
     # path (fold_bn) when H and W are even. Default OFF by measurement.
     s2d_stem: bool = False
+    # Run the TRAIN forward through the collapsed/packed decoder too
+    # (ops/collapsed.collapsed_mono_decoder_multiscale): the rewrite is
+    # exact and built from plain jnp ops, so jax.grad through it equals
+    # the standard decoder's gradients to reassociation error
+    # (tests/test_collapsed_train.py pins forward, grads, and one full
+    # Adam step). Measured on v5e: supervised 182->511 fps/chip,
+    # selfsup 155->332 at 192x640 b16 (BASELINE.md). Default ON — the
+    # same exactness standard as packed_decoder; the flag remains for
+    # A/B and for shapes the collapse does not admit (auto-fallback).
+    collapsed_train: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -298,7 +308,12 @@ PRESETS = {
 }
 
 
-def get(name: str) -> RunConfig:
+def get(name: "str | RunConfig") -> RunConfig:
+    # Idempotent: callers like benchmark.run_bench/run_train_bench take
+    # "preset name or an already-built RunConfig" (the CLI resolves
+    # presets early to apply flag overrides like --num-layers).
+    if isinstance(name, RunConfig):
+        return name
     try:
         return PRESETS[name]
     except KeyError:

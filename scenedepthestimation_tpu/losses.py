@@ -198,7 +198,11 @@ def mono_temporal_selfsup_loss(
 
         reproj_errs = []
         for src, t_mat in zip(sources, t_mats):
-            recon, _ = reproject_sample(src, depth, k, k_inv, t_mat)
+            # src is DATA — stop-grad skips the sample's image-cotangent
+            # scatter in the backward (grads flow via depth/pose only).
+            recon, _ = reproject_sample(
+                jax.lax.stop_gradient(src), depth, k, k_inv, t_mat
+            )
             reproj_errs.append(photometric_error(recon, target))
         all_errs = jnp.stack(reproj_errs + identity_errs, axis=0)
         min_err = jnp.min(all_errs, axis=0)  # (B, H-2, W-2)
@@ -228,7 +232,10 @@ def stereo_selfsup_loss(
     )
 
     w = left.shape[2]
-    recon = warp_horizontal(right, pred_disp)
+    # The warped source is DATA — stop its gradient so the warp's
+    # backward skips the image-cotangent matmul (one-hot path) /
+    # scatter (gather path); d(loss)/d(disp) is unchanged.
+    recon = warp_horizontal(jax.lax.stop_gradient(right), pred_disp)
     err = photometric_error(recon, left, alpha=alpha)  # (B, H-2, W-2)
     valid = valid_mask_horizontal(pred_disp, w)[:, 1:-1, 1:-1]
     photo = jnp.sum(jnp.where(valid, err, 0.0)) / jnp.maximum(

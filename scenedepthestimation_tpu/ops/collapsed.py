@@ -994,6 +994,102 @@ def collapsed_mono_decoder(
     return _packed_head_epilogue(dp, disp_to_depth_minmax)
 
 
+def collapsed_mono_decoder_multiscale(
+    dec_params,
+    features,
+    dec_channels=(16, 32, 64, 128, 256),
+    upsample_mode: str = "nearest",
+    dtype=jnp.float32,
+    scales=(0, 1, 2, 3),
+):
+    """All four sigmoid disparity scales with levels 1/0 in the
+    collapsed/packed layout — the TRAIN-forward twin of
+    :func:`collapsed_mono_decoder` (which emits scale 0 only).
+
+    The collapse is an exact execution rewrite built from plain jnp/lax
+    ops (convs, concats, slices), so its jax.grad equals the standard
+    ``DepthDecoder`` path's gradients to reassociation error —
+    tests/test_collapsed_train.py pins the forward, the gradients, and a
+    full optimizer step. Engaged by ``MonoConfig.collapsed_train``.
+    The inference-only micro-optimizations (bordered carry, fused Pallas
+    tail, colpack head) are deliberately NOT used here: their payoff is
+    inference-shaped and the per-op strip forms keep the backward
+    simple.
+
+    Scale-1 subtlety: ``dispconv_1`` runs at (H/2, W/2) with REFLECT
+    borders on the unpacked level-1 output; on the packed ``y1p`` that
+    is the packed conv with EDGE borders (ops/packed.py lemma), emitting
+    the packed disparity — one depth_to_space recovers the plane.
+    """
+    assert upsample_mode == "nearest", "collapse requires nearest upsample"
+    c0, c1 = dec_channels[0], dec_channels[1]
+    edge_conv = conv3x3_edge_v2 if _USE_NOPAD else conv3x3_edge
+    skip_conv = strided_skip_conv_v2 if _USE_NOPAD else strided_skip_conv
+
+    def p(name):
+        q = dec_params[name]["conv"]
+        return q["kernel"], q["bias"]
+
+    def cb(name, t):  # standard ConvBlock: reflect-border conv3x3 + ELU
+        k, b = p(name)
+        if _USE_NOPAD:
+            y = conv3x3_nopad(t.astype(dtype), k.astype(dtype), mode="reflect")
+            return jax.nn.elu(y + b.astype(dtype))
+        return conv3x3_xla(t.astype(dtype), k.astype(dtype), b.astype(dtype), "elu")
+
+    def head(name, t):  # reflect-border dispconv + fp32 sigmoid
+        k, b = p(name)
+        if _USE_NOPAD:
+            y = conv3x3_nopad(t.astype(dtype), k.astype(dtype), mode="reflect")
+            y = y + b.astype(dtype)
+        else:
+            y = conv3x3_xla(
+                t.astype(dtype), k.astype(dtype), b.astype(dtype), "none"
+            )
+        return jax.nn.sigmoid(y.astype(jnp.float32))
+
+    outputs = {}
+    x = features[-1]
+    for i in (4, 3, 2):
+        x = cb(f"upconv_{i}_0", x)
+        x = upsample_concat(x, features[i - 1], mode=upsample_mode)
+        x = cb(f"upconv_{i}_1", x)
+        if i in scales:
+            outputs[i] = head(f"dispconv_{i}", x)
+
+    t = cb("upconv_1_0", x)  # (B, H/4, W/4, c1)
+    k11, b11 = p("upconv_1_1")
+    k11 = k11.astype(dtype)
+    y1p = edge_conv(t, collapse_upsample_conv_kernel(k11[:, :, :c1, :]))
+    y1p = y1p + skip_conv(
+        features[0].astype(dtype),
+        strided_skip_conv_kernel(k11[:, :, c1:, :]),
+    )
+    y1p = jax.nn.elu(y1p + jnp.tile(b11.astype(dtype), 4))
+    if 1 in scales:
+        kd1, bd1 = p("dispconv_1")
+        d1 = edge_conv(y1p, pack_conv3x3_kernel(kd1.astype(dtype)))
+        d1 = d1 + jnp.tile(bd1.astype(dtype), 4)
+        outputs[1] = depth_to_space(jax.nn.sigmoid(d1.astype(jnp.float32)))
+
+    k00, b00 = p("upconv_0_0")
+    zp = jax.nn.elu(
+        edge_conv(y1p, pack_conv3x3_kernel(k00.astype(dtype)))
+        + jnp.tile(b00.astype(dtype), 4)
+    )
+    z = depth_to_space(zp)  # (B, H/2, W/2, c0)
+    k01, b01 = p("upconv_0_1")
+    y0p = jax.nn.elu(
+        edge_conv(z, collapse_upsample_conv_kernel(k01.astype(dtype)))
+        + jnp.tile(b01.astype(dtype), 4)
+    )
+    kd, bd = p("dispconv_0")
+    d0 = edge_conv(y0p, pack_conv3x3_kernel(kd.astype(dtype)))
+    d0 = d0 + jnp.tile(bd.astype(dtype), 4)
+    outputs[0] = depth_to_space(jax.nn.sigmoid(d0.astype(jnp.float32)))
+    return outputs
+
+
 def _packed_head_epilogue(dp: jnp.ndarray, disp_to_depth_minmax):
     """Shared tail of the packed head: (B, H/2, W/2, 4) disparity logits
     → (B, H, W, 1) sigmoid map, or the fused {disp, depth} pair."""

@@ -11,6 +11,7 @@ collective calls anywhere (SURVEY §2 parallelism table, §5.8).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -154,13 +155,16 @@ def make_mono_train_step(cfg: RunConfig, augment: bool = False):
         return loss, mutated
 
     def _apply_train(variables, x):
-        model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
-        out, mutated = model.apply(
-            variables, x, train=True, mutable=["batch_stats"]
+        return _apply_mono_train(
+            variables["params"], variables["batch_stats"], x, cfg, dtype
         )
-        return out, mutated["batch_stats"]
 
-    @jax.jit
+    # All five step factories donate the TrainState: params + Adam
+    # moments update in place instead of being copied every step
+    # (~3x param bytes of HBM traffic at zero cost — every call site
+    # rebinds ``state = step_fn(state, batch)``). CPU tests are
+    # unaffected (donation is a no-op there).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
@@ -169,6 +173,52 @@ def make_mono_train_step(cfg: RunConfig, augment: bool = False):
         return state, {"loss": loss}
 
     return train_step
+
+
+def _apply_mono_train(params, batch_stats, x, cfg: RunConfig, dtype):
+    """Mono train forward → (disps dict, new batch_stats).
+
+    With ``cfg.mono.collapsed_train`` (and shapes the collapse admits —
+    H, W multiples of 4) the decoder runs in the collapsed/packed layout
+    (ops/collapsed.collapsed_mono_decoder_multiscale): an exact rewrite,
+    so gradients match the standard path to reassociation error while
+    the forward+backward skip the full-res C=16/32 materializations.
+    """
+    if (
+        cfg.mono.collapsed_train
+        and cfg.mono.upsample_mode == "nearest"
+        and cfg.mono.height % 4 == 0
+        and cfg.mono.width % 4 == 0
+    ):
+        from scenedepthestimation_tpu.models.resnet import ResNetEncoder
+        from scenedepthestimation_tpu.ops.collapsed import (
+            collapsed_mono_decoder_multiscale,
+        )
+
+        enc = ResNetEncoder(num_layers=cfg.mono.num_layers, dtype=dtype)
+        feats, mut = enc.apply(
+            {"params": params["encoder"], "batch_stats": batch_stats["encoder"]},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        disps = collapsed_mono_decoder_multiscale(
+            params["decoder"],
+            feats,
+            dec_channels=cfg.mono.dec_channels,
+            upsample_mode=cfg.mono.upsample_mode,
+            dtype=dtype,
+            scales=cfg.mono.scales,
+        )
+        return disps, {"encoder": mut["batch_stats"]}
+    model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
+    out, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        x,
+        train=True,
+        mutable=["batch_stats"],
+    )
+    return out, mutated["batch_stats"]
 
 
 def _to01_at(img, net_hw):
@@ -255,7 +305,7 @@ def make_stereo_train_step(cfg: RunConfig, augment: bool = False, crop: bool = F
             )
         return total
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         state = state.apply_gradients(grads, state.batch_stats)
@@ -289,7 +339,7 @@ def make_stereo_selfsup_train_step(
         r01 = _to01_at(batch.get("right_clean", batch["right"]), net_hw)
         return losses.stereo_selfsup_loss(disp, l01, r01)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         state = state.apply_gradients(grads, state.batch_stats)
@@ -314,13 +364,7 @@ def make_mono_selfsup_train_step(cfg: RunConfig):
         from scenedepthestimation_tpu.ops.upsample import upsample2x
 
         xl = preprocess(batch["left"], net_hw, cfg.pre, compute_dtype=dtype)
-        model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
-        disps, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            xl,
-            train=True,
-            mutable=["batch_stats"],
-        )
+        disps, new_stats = _apply_mono_train(params, batch_stats, xl, cfg, dtype)
         # Photometric targets at network resolution in [0,1] (the sibling
         # stereo-selfsup path handles full-res inputs the same way).
         l01 = _to01_at(batch["left"], net_hw)
@@ -338,9 +382,9 @@ def make_mono_selfsup_train_step(cfg: RunConfig):
             total = total + losses.stereo_selfsup_loss(
                 disp_px, l01, r01, smoothness_weight=1e-3 / (2.0**s)
             )
-        return total / len(disps), mutated["batch_stats"]
+        return total / len(disps), new_stats
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
@@ -398,7 +442,6 @@ def make_mono_temporal_train_step(cfg: RunConfig):
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     net_hw = (cfg.mono.height, cfg.mono.width)
-    depth_model = MonoDepthNet(cfg=cfg.mono, dtype=dtype)
     pose_model = PoseNet(dtype=dtype)
 
     def loss_fn(params, batch_stats, batch):
@@ -409,9 +452,8 @@ def make_mono_temporal_train_step(cfg: RunConfig):
         nxt = _to01_at(batch["frames"][:, 2], net_hw)
         x = preprocess(batch["frames"][:, 1], net_hw, cfg.pre, compute_dtype=dtype)
 
-        dvars = {"params": params["depth"], "batch_stats": batch_stats["depth"]}
-        disps, mutated = depth_model.apply(
-            dvars, x, train=True, mutable=["batch_stats"]
+        disps, depth_stats = _apply_mono_train(
+            params["depth"], batch_stats["depth"], x, cfg, dtype
         )
         disps = {s: d for s, d in disps.items()}
 
@@ -456,9 +498,9 @@ def make_mono_temporal_train_step(cfg: RunConfig):
             cfg.mono.min_depth,
             cfg.mono.max_depth,
         )
-        return loss, {"depth": mutated["batch_stats"], "pose": pose_stats}
+        return loss, {"depth": depth_stats, "pose": pose_stats}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch

@@ -34,6 +34,47 @@ def test_warp_fractional_lerp():
     np.testing.assert_allclose(out[0, 0, 3, 0], 2.5, atol=1e-6)
 
 
+def test_warp_onehot_matches_gather():
+    """The TPU one-hot matmul warp == the gather warp, values AND the
+    disp gradient, including the edge clamps — and the row-chunked
+    branch (tiny _ROW_CHUNK_BYTES) agrees too."""
+    import jax
+
+    from scenedepthestimation_tpu.ops import warp as W
+
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 8, 16, 3)).astype(np.float32))
+    # Disparities spanning negative, fractional, and out-of-frame.
+    disp = jnp.asarray(
+        rng.uniform(-4.0, 20.0, (2, 8, 16)).astype(np.float32)
+    )
+
+    def run(flag):
+        W.set_use_onehot(flag)
+        try:
+            out = np.asarray(warp_horizontal(img, disp))
+            g = np.asarray(
+                jax.grad(lambda d: (warp_horizontal(img, d) ** 2).sum())(disp)
+            )
+        finally:
+            W.set_use_onehot(None)
+        return out, g
+
+    out_g, grad_g = run(False)
+    out_o, grad_o = run(True)
+    np.testing.assert_allclose(out_o, out_g, atol=1e-6)
+    np.testing.assert_allclose(grad_o, grad_g, atol=1e-5)
+
+    old = W._ROW_CHUNK_BYTES
+    W._ROW_CHUNK_BYTES = 2 * 16 * 16 * 4 * 2  # forces hc < H
+    try:
+        out_c, grad_c = run(True)
+    finally:
+        W._ROW_CHUNK_BYTES = old
+    np.testing.assert_allclose(out_c, out_g, atol=1e-6)
+    np.testing.assert_allclose(grad_c, grad_g, atol=1e-5)
+
+
 def test_valid_mask():
     mask = np.asarray(valid_mask_horizontal(jnp.full((1, 1, 8), 3.0), 8))
     np.testing.assert_array_equal(mask[0, 0], [False] * 3 + [True] * 5)

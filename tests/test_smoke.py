@@ -32,6 +32,14 @@ def test_presets_exist():
         assert configs.get(name).name == name
 
 
+def test_get_passes_runconfig_through():
+    # benchmark.run_bench / run_train_bench accept "name or RunConfig";
+    # the CLI resolves presets early (for --num-layers etc.), so get()
+    # must be idempotent on an already-built config.
+    cfg = configs.get("mono_kitti_192x640_fp32")
+    assert configs.get(cfg) is cfg
+
+
 def test_mono_predict_shapes_and_range():
     predictor = load_weights(None, TINY_MONO, seed=0)
     rng = np.random.default_rng(0)

@@ -150,7 +150,11 @@ def test_stereo_train_step_with_augmentation_grad_flow():
         "rng": jax.random.PRNGKey(0),
     }
     state = train.make_train_state(TINY_STEREO, seed=0, learning_rate=1e-3)
-    before = jax.tree_util.tree_leaves(state.params)
+    # Materialize (the train step donates its TrainState — the live
+    # device buffers are invalid after the call).
+    before = [
+        np.asarray(x).copy() for x in jax.tree_util.tree_leaves(state.params)
+    ]
     step = train.make_stereo_train_step(TINY_STEREO, augment=True, crop=True)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
