@@ -373,7 +373,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pb.add_argument(
         "--train",
-        choices=["supervised", "selfsup"],
+        choices=["supervised", "selfsup", "temporal"],
         default=None,
         help="time the jitted train step (steps/s + frames/s) instead "
         "of inference",

@@ -157,6 +157,121 @@ def disparity_classification_loss(
     return jnp.sum(ce * vf) / jnp.maximum(jnp.sum(vf), 1.0)
 
 
+# --- channels-first ((B, C, H, W), W-minor) loss kernels -------------------
+# On TPU every elementwise/window op on an NHWC C=3 array pays a
+# 3->128 lane-padding tax (~42x memory traffic). The temporal loss is
+# ~20 such full-res traversals per (scale, source); channels-first they
+# run at full lanes (W=640 = 5x128). Same math, verified bit-close in
+# tests/test_project.py.
+
+
+def _avg_pool3_cf(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 mean pool, stride 1, VALID, on (B, C, H, W)."""
+    return lax.reduce_window(
+        x, 0.0, lax.add, (1, 1, 3, 3), (1, 1, 1, 1), "VALID"
+    ) / 9.0
+
+
+def ssim_cf(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """ssim() on channels-first inputs → (B, C, H-2, W-2)."""
+    c1, c2 = 0.01**2, 0.03**2
+    mu_x, mu_y = _avg_pool3_cf(x), _avg_pool3_cf(y)
+    sigma_x = _avg_pool3_cf(x * x) - mu_x * mu_x
+    sigma_y = _avg_pool3_cf(y * y) - mu_y * mu_y
+    sigma_xy = _avg_pool3_cf(x * y) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
+    return jnp.clip((1.0 - num / den) * 0.5, 0.0, 1.0)
+
+
+def photometric_error_cf(
+    pred: jnp.ndarray, target: jnp.ndarray, alpha: float = 0.85
+) -> jnp.ndarray:
+    """photometric_error() on (B, C, H, W) inputs → (B, H-2, W-2)."""
+    l1 = jnp.mean(jnp.abs(pred - target), axis=1)[:, 1:-1, 1:-1]
+    ss = jnp.mean(ssim_cf(pred, target), axis=1)
+    return alpha * ss + (1.0 - alpha) * l1
+
+
+def edge_aware_smoothness_cf(
+    disp: jnp.ndarray, img_cf: jnp.ndarray
+) -> jnp.ndarray:
+    """edge_aware_smoothness() with disp (B, H, W) and image
+    (B, C, H, W) — identical value, no C-minor arrays."""
+    mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+    d = disp / (mean_disp + 1e-7)
+    dx = jnp.abs(d[:, :, 1:] - d[:, :, :-1])
+    dy = jnp.abs(d[:, 1:] - d[:, :-1])
+    ix = jnp.mean(jnp.abs(img_cf[..., 1:] - img_cf[..., :-1]), axis=1)
+    iy = jnp.mean(jnp.abs(img_cf[:, :, 1:] - img_cf[:, :, :-1]), axis=1)
+    dx = dx * jnp.exp(-ix)
+    dy = dy * jnp.exp(-iy)
+    return jnp.mean(dx) + jnp.mean(dy)
+
+
+# None = auto (channels-first on TPU, NHWC elsewhere); bool = forced
+# (tests pin parity between the two forms).
+_USE_CFIRST: bool | None = None
+
+
+def set_use_cfirst(flag: bool | None) -> None:
+    global _USE_CFIRST
+    _USE_CFIRST = flag
+
+
+def _temporal_loss_cfirst(
+    disps,
+    target: jnp.ndarray,
+    sources,
+    t_mats,
+    k: jnp.ndarray,
+    k_inv: jnp.ndarray,
+    min_depth: float,
+    max_depth: float,
+    smoothness_weight: float,
+) -> jnp.ndarray:
+    """Channels-first body of mono_temporal_selfsup_loss. Differences
+    from the NHWC body are layout-only: corner tables hoisted out of
+    the scale loop (depth-independent), W-minor point math/lerps/SSIM,
+    and NO jax.checkpoint — the residuals that OOM'd in NHWC (42x
+    lane-padded corner/SSIM intermediates) are compact here, so the
+    backward reuses them instead of re-running the gathers."""
+    from scenedepthestimation_tpu.ops.disp_to_depth import disp_to_depth
+    from scenedepthestimation_tpu.ops.project import (
+        pack4_table,
+        reproject_coords,
+        sample_table_cfirst,
+    )
+    from scenedepthestimation_tpu.ops.upsample import upsample2x_rank3
+
+    h, w = target.shape[1:3]
+    target_cf = target.transpose(0, 3, 1, 2)
+    src_cf = [jax.lax.stop_gradient(s).transpose(0, 3, 1, 2) for s in sources]
+    identity_errs = [
+        photometric_error_cf(s, target_cf) + 1e-5 for s in src_cf
+    ]
+    tables = [pack4_table(jax.lax.stop_gradient(s)) for s in sources]
+
+    total = 0.0
+    for s, disp in sorted(disps.items()):
+        d = disp.astype(jnp.float32)[..., 0]  # (B, h_s, w_s)
+        for _ in range(s):
+            d = upsample2x_rank3(d)
+        _, depth = disp_to_depth(d, min_depth, max_depth)
+
+        reproj_errs = []
+        for table, t_mat in zip(tables, t_mats):
+            x, y = reproject_coords(depth, k, k_inv, t_mat)
+            recon = sample_table_cfirst(table, x, y, h, w)
+            reproj_errs.append(photometric_error_cf(recon, target_cf))
+        all_errs = jnp.stack(reproj_errs + identity_errs, axis=0)
+        min_err = jnp.min(all_errs, axis=0)  # (B, H-2, W-2)
+
+        smooth = edge_aware_smoothness_cf(d, target_cf)
+        total = total + jnp.mean(min_err) + smoothness_weight * smooth / (2.0**s)
+    return total / len(disps)
+
+
 def mono_temporal_selfsup_loss(
     disps,
     target: jnp.ndarray,
@@ -177,7 +292,20 @@ def mono_temporal_selfsup_loss(
 
     disps: {scale: (B, h_s, w_s, 1) sigmoid}; target (B, H, W, 3) [0,1];
     sources: list of (B, H, W, 3); t_mats: list of (B, 4, 4).
+
+    Two numerically-matching bodies: channels-first (TPU default — see
+    _temporal_loss_cfirst) and the NHWC form below (CPU/GPU, and the
+    parity reference for tests).
     """
+    use_cf = _USE_CFIRST
+    if use_cf is None:
+        use_cf = jax.default_backend() == "tpu"
+    if use_cf:
+        return _temporal_loss_cfirst(
+            disps, target, sources, t_mats, k, k_inv,
+            min_depth, max_depth, smoothness_weight,
+        )
+
     from scenedepthestimation_tpu.ops.disp_to_depth import disp_to_depth
     from scenedepthestimation_tpu.ops.project import reproject_sample
     from scenedepthestimation_tpu.ops.upsample import upsample2x
@@ -196,14 +324,24 @@ def mono_temporal_selfsup_loss(
             d = upsample2x(d, mode="bilinear")
         _, depth = disp_to_depth(d[..., 0], min_depth, max_depth)
 
-        reproj_errs = []
-        for src, t_mat in zip(sources, t_mats):
-            # src is DATA — stop-grad skips the sample's image-cotangent
-            # scatter in the backward (grads flow via depth/pose only).
+        # Each reprojection's residuals (4 bilinear corners + SSIM
+        # windows, all C=3-minor arrays that XLA lane-pads ~21x) are
+        # rematerialized in the backward instead of kept live; only the
+        # (B, H-2, W-2) error maps stay live for the min-stack. This
+        # NHWC body is the CPU/GPU + parity-reference form — on TPU the
+        # dispatch above picks _temporal_loss_cfirst (b8 192x640 fp32
+        # full-step: 622 ms NHWC+ckpt vs 491 ms cfirst, real harness).
+        def reproj_err(depth_, src, t_mat):
             recon, _ = reproject_sample(
-                jax.lax.stop_gradient(src), depth, k, k_inv, t_mat
+                jax.lax.stop_gradient(src), depth_, k, k_inv, t_mat
             )
-            reproj_errs.append(photometric_error(recon, target))
+            return photometric_error(recon, target)
+
+        reproj_err = jax.checkpoint(reproj_err, static_argnums=())
+        reproj_errs = [
+            reproj_err(depth, src, t_mat)
+            for src, t_mat in zip(sources, t_mats)
+        ]
         all_errs = jnp.stack(reproj_errs + identity_errs, axis=0)
         min_err = jnp.min(all_errs, axis=0)  # (B, H-2, W-2)
 

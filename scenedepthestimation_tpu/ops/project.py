@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -45,22 +46,32 @@ def project(points: jnp.ndarray, k: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarr
     return cam[..., :2] / z
 
 
-def bilinear_sample(
-    img: jnp.ndarray, coords: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sample img (B, H, W, C) at pixel coords (B, H, W, 2) (x, y).
+# None = auto (corner-packed single gather on TPU, 4-gather elsewhere);
+# bool = forced (tests pin parity between the two forms).
+_USE_PACK4: bool | None = None
 
-    Border-clamped bilinear; returns (samples, in-frame validity mask).
-    """
-    b, h, w, c = img.shape
+
+def set_use_pack4(flag: bool | None) -> None:
+    global _USE_PACK4
+    _USE_PACK4 = flag
+
+
+def _corner_coords(coords: jnp.ndarray, h: int, w: int):
     x = jnp.clip(coords[..., 0], 0.0, w - 1.0)
     y = jnp.clip(coords[..., 1], 0.0, h - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    ix0 = x0.astype(jnp.int32)
-    iy0 = y0.astype(jnp.int32)
+    return (
+        x0.astype(jnp.int32),
+        y0.astype(jnp.int32),
+        (x - x0)[..., None],
+        (y - y0)[..., None],
+    )
+
+
+def _sample_gather4(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = img.shape
+    ix0, iy0, fx, fy = _corner_coords(coords, h, w)
     ix1 = jnp.minimum(ix0 + 1, w - 1)
     iy1 = jnp.minimum(iy0 + 1, h - 1)
 
@@ -74,15 +85,129 @@ def bilinear_sample(
 
     top = gather(iy0, ix0) * (1 - fx) + gather(iy0, ix1) * fx
     bot = gather(iy1, ix0) * (1 - fx) + gather(iy1, ix1) * fx
-    out = top * (1 - fy) + bot * fy
+    return top * (1 - fy) + bot * fy
+
+
+def _sample_pack4(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """ONE gather of a 4-corner-packed (B, HW, 4C) table at the (y0, x0)
+    index. TPU gather cost is per-index (measured ~10.6 ns/idx at 48 B
+    rows, bench/probe_project.py): four C=3 gathers cost 35.4 ms at
+    (8, 192, 640) while one 4C=12 gather costs 10.4 ms — 3.4x, exact to
+    the bit. The edge-clamped right/down/down-right shifts ARE the
+    clamped ix1/iy1 samples (min(i+1, n-1) commutes with the shift —
+    the same lemma ops/warp.py uses along W)."""
+    b, h, w, c = img.shape
+    ix0, iy0, fx, fy = _corner_coords(coords, h, w)
+    right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+    down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+    table = jnp.concatenate([img, right, down, downright], axis=-1)
+    idx = (iy0 * w + ix0).reshape(b, -1, 1)
+    g = jnp.take_along_axis(table.reshape(b, h * w, 4 * c), idx, axis=1)
+    g = g.reshape(b, h, w, 4 * c)
+    c00, c01 = g[..., :c], g[..., c : 2 * c]
+    c10, c11 = g[..., 2 * c : 3 * c], g[..., 3 * c :]
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def bilinear_sample(
+    img: jnp.ndarray, coords: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample img (B, H, W, C) at pixel coords (B, H, W, 2) (x, y).
+
+    Border-clamped bilinear; returns (samples, in-frame validity mask).
+    Gradients flow into ``coords`` through the lerp weights (and into
+    ``img`` through the gather/table, unless the caller stops it).
+    """
+    use_pack4 = _USE_PACK4
+    if use_pack4 is None:
+        use_pack4 = jax.default_backend() == "tpu"
+    sample = _sample_pack4 if use_pack4 else _sample_gather4
+    out = sample(img, coords)
 
     valid = (
         (coords[..., 0] >= 0)
-        & (coords[..., 0] <= w - 1)
+        & (coords[..., 0] <= img.shape[2] - 1)
         & (coords[..., 1] >= 0)
-        & (coords[..., 1] <= h - 1)
+        & (coords[..., 1] <= img.shape[1] - 1)
     )
     return out, valid
+
+
+# ---------------------------------------------------------------------------
+# Channels-first (W-minor) path for the temporal training loss.
+#
+# Every (B, H, W, 3) NHWC intermediate in the reprojection pipeline is
+# lane-padded 3 -> 128 on TPU (a 42x memory-traffic tax on each
+# elementwise op). The loss-side rewrite keeps channels FIRST —
+# (B, 3, H, W), W minor, 640 = 5 full lanes — so point math, lerps and
+# SSIM run at full lane utilization, and the bilinear residuals become
+# compact enough to keep live (no jax.checkpoint / no recomputed
+# gathers in the backward). The gather itself stays in corner-packed
+# (B, HW, 4C) form (measured fastest, see _sample_pack4).
+# ---------------------------------------------------------------------------
+
+
+def pack4_table(img: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) NHWC source frame → corner-packed (B, H*W, 4C)
+    gather table [c00, c01, c10, c11]. Depth/pose-independent: built
+    ONCE per source frame and shared by every scale's reprojection."""
+    b, h, w, c = img.shape
+    right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+    down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+    table = jnp.concatenate([img, right, down, downright], axis=-1)
+    return table.reshape(b, h * w, 4 * c)
+
+
+def reproject_coords(
+    depth: jnp.ndarray,
+    k: jnp.ndarray,
+    k_inv: jnp.ndarray,
+    t_mat: jnp.ndarray,
+    eps: float = 1e-7,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """depth (B, H, W) → source-view pixel coords as two W-minor maps
+    (x, y), each (B, H, W). Same math as backproject→transform→project
+    but with points kept (B, 3, H, W) so nothing is C-minor."""
+    b, h, w = depth.shape
+    grid_cf = pixel_grid(h, w, depth.dtype).transpose(2, 0, 1)  # (3, H, W)
+    rays = jnp.einsum("bij,jhw->bihw", k_inv, grid_cf)
+    pts = rays * depth[:, None]
+    rot = t_mat[:, :3, :3]
+    trans = t_mat[:, :3, 3]
+    pts = jnp.einsum("bij,bjhw->bihw", rot, pts) + trans[:, :, None, None]
+    cam = jnp.einsum("bij,bjhw->bihw", k, pts)
+    z = jnp.maximum(cam[:, 2], eps)
+    return cam[:, 0] / z, cam[:, 1] / z
+
+
+def sample_table_cfirst(
+    table: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, h: int, w: int
+) -> jnp.ndarray:
+    """Bilinear-sample a pack4_table at W-minor coords x, y (B, H, W)
+    → channels-first samples (B, C, H, W). Bit-identical values to
+    bilinear_sample (same corners, same lerp)."""
+    b = table.shape[0]
+    c = table.shape[-1] // 4
+    xc = jnp.clip(x, 0.0, w - 1.0)
+    yc = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.floor(xc)
+    y0 = jnp.floor(yc)
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    fx = (xc - x0)[:, None]  # (B, 1, H, W)
+    fy = (yc - y0)[:, None]
+    idx = (iy0 * w + ix0).reshape(b, -1, 1)
+    g = jnp.take_along_axis(table, idx, axis=1)  # (B, HW, 4C)
+    g = g.reshape(b, h, w, 4 * c).transpose(0, 3, 1, 2)  # (B, 4C, H, W)
+    c00, c01 = g[:, :c], g[:, c : 2 * c]
+    c10, c11 = g[:, 2 * c : 3 * c], g[:, 3 * c :]
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
 
 
 def reproject_sample(

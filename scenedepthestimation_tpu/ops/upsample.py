@@ -34,6 +34,18 @@ def upsample2x(x: jnp.ndarray, mode: str = "nearest") -> jnp.ndarray:
     raise ValueError(f"unknown upsample mode {mode!r}")
 
 
+def _blend_axis(t: jnp.ndarray, axis: int) -> jnp.ndarray:
+    n = t.shape[axis]
+    lo = jnp.take(t, jnp.maximum(jnp.arange(n) - 1, 0), axis=axis)
+    hi = jnp.take(t, jnp.minimum(jnp.arange(n) + 1, n - 1), axis=axis)
+    even = 0.75 * t + 0.25 * lo  # output index 2i   (src pos i - 0.25)
+    odd = 0.75 * t + 0.25 * hi  # output index 2i+1 (src pos i + 0.25)
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(t.shape)
+    new_shape[axis] = 2 * n
+    return stacked.reshape(new_shape)
+
+
 def _bilinear2x(x: jnp.ndarray) -> jnp.ndarray:
     """Exact 2x bilinear with half-pixel centers (align_corners=False).
 
@@ -42,21 +54,18 @@ def _bilinear2x(x: jnp.ndarray) -> jnp.ndarray:
     (0.75, 0.25) blend of two neighbours with edge clamping. Implemented
     as two separable 1-D blends — pure elementwise, no gather.
     """
-
-    def blend_axis(t: jnp.ndarray, axis: int) -> jnp.ndarray:
-        n = t.shape[axis]
-        lo = jnp.take(t, jnp.maximum(jnp.arange(n) - 1, 0), axis=axis)
-        hi = jnp.take(t, jnp.minimum(jnp.arange(n) + 1, n - 1), axis=axis)
-        even = 0.75 * t + 0.25 * lo  # output index 2i   (src pos i - 0.25)
-        odd = 0.75 * t + 0.25 * hi  # output index 2i+1 (src pos i + 0.25)
-        stacked = jnp.stack([even, odd], axis=axis + 1)
-        new_shape = list(t.shape)
-        new_shape[axis] = 2 * n
-        return stacked.reshape(new_shape)
-
-    x = blend_axis(x, 1)  # H
-    x = blend_axis(x, 2)  # W
+    x = _blend_axis(x, 1)  # H
+    x = _blend_axis(x, 2)  # W
     return x
+
+
+def upsample2x_rank3(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x for a single-channel (B, H, W) map — identical math
+    to ``upsample2x(x[..., None], "bilinear")[..., 0]`` but W stays the
+    minor axis, so no 128x lane padding on a C=1 array (the temporal
+    loss' per-scale disparity upsample)."""
+    x = _blend_axis(x, 1)
+    return _blend_axis(x, 2)
 
 
 # Composition of two (0.75, 0.25) half-pixel blends: output phase r of a

@@ -60,6 +60,104 @@ def test_bilinear_sample_identity_grid():
     assert np.asarray(valid).all()
 
 
+def test_pack4_matches_gather4_values_and_grads():
+    # The TPU corner-packed single-gather form is an exact rewrite of
+    # the 4-gather form: same values AND same gradients (into coords
+    # through the lerp weights, into img through the gather/table).
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 9, 13, 3)).astype(np.float32))
+    # Coords beyond the frame on every side to exercise the clamps.
+    cx = rng.uniform(-3, 15, (2, 9, 13)).astype(np.float32)
+    cy = rng.uniform(-3, 11, (2, 9, 13)).astype(np.float32)
+    coords = jnp.asarray(np.stack([cx, cy], axis=-1))
+
+    out_g = project._sample_gather4(img, coords)
+    out_p = project._sample_pack4(img, coords)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_g), atol=1e-6)
+
+    def loss(fn, i_, c_):
+        return (fn(i_, c_) * jnp.cos(jnp.arange(3.0))).sum()
+
+    gi_g, gc_g = jax.grad(lambda i_, c_: loss(project._sample_gather4, i_, c_), (0, 1))(img, coords)
+    gi_p, gc_p = jax.grad(lambda i_, c_: loss(project._sample_pack4, i_, c_), (0, 1))(img, coords)
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_g), atol=1e-5)
+
+
+def test_bilinear_sample_dispatch_override():
+    img = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (1, 8, 12, 3)).astype(np.float32)
+    )
+    coords = project.pixel_grid(8, 12)[..., :2][None] + 0.3
+    try:
+        project.set_use_pack4(True)
+        out_p, _ = project.bilinear_sample(img, coords)
+        project.set_use_pack4(False)
+        out_g, _ = project.bilinear_sample(img, coords)
+    finally:
+        project.set_use_pack4(None)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_g), atol=1e-6)
+
+
+def test_temporal_loss_cfirst_matches_nhwc():
+    """The channels-first loss body (TPU layout) is an exact layout
+    rewrite of the NHWC body: same loss value, same gradients into the
+    disparities and poses."""
+    from scenedepthestimation_tpu import losses
+
+    rng = np.random.default_rng(11)
+    b, h, w = 2, 16, 32
+    target = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+    sources = [
+        jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+        for _ in range(2)
+    ]
+    disps = {
+        s: jnp.asarray(
+            rng.uniform(0.1, 0.9, (b, h >> s, w >> s, 1)).astype(np.float32)
+        )
+        for s in range(3)
+    }
+    k = jnp.broadcast_to(
+        jnp.asarray([[20.0, 0, 16], [0, 20.0, 8], [0, 0, 1]]), (b, 3, 3)
+    )
+    k_inv = jnp.linalg.inv(k)
+    aa = jnp.asarray(rng.normal(0, 0.02, (b, 2, 3)).astype(np.float32))
+    tr = jnp.asarray(rng.normal(0, 0.05, (b, 2, 3)).astype(np.float32))
+
+    def loss_of(disps_, aa_, tr_):
+        t_mats = [
+            project.pose_vec_to_mat(aa_[:, 0], tr_[:, 0], invert=True),
+            project.pose_vec_to_mat(aa_[:, 1], tr_[:, 1]),
+        ]
+        return losses.mono_temporal_selfsup_loss(
+            disps_, target, sources, t_mats, k, k_inv, 0.1, 100.0
+        )
+
+    try:
+        losses.set_use_cfirst(True)
+        v_cf, g_cf = jax.value_and_grad(loss_of, argnums=(0, 1, 2))(disps, aa, tr)
+        losses.set_use_cfirst(False)
+        v_nh, g_nh = jax.value_and_grad(loss_of, argnums=(0, 1, 2))(disps, aa, tr)
+    finally:
+        losses.set_use_cfirst(None)
+
+    np.testing.assert_allclose(float(v_cf), float(v_nh), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_cf), jax.tree_util.tree_leaves(g_nh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+
+
+def test_upsample2x_rank3_matches_nhwc():
+    from scenedepthestimation_tpu.ops.upsample import upsample2x, upsample2x_rank3
+
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 7, 9)).astype(np.float32)
+    )
+    a = upsample2x_rank3(x)
+    b = upsample2x(x[..., None], mode="bilinear")[..., 0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
 def test_reproject_identity_pose_identity_image():
     """Zero pose + any depth must reconstruct the image exactly."""
     img = jnp.asarray(
