@@ -166,10 +166,19 @@ def disparity_classification_loss(
 
 
 def _avg_pool3_cf(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3 mean pool, stride 1, VALID, on (B, C, H, W)."""
-    return lax.reduce_window(
-        x, 0.0, lax.add, (1, 1, 3, 3), (1, 1, 1, 1), "VALID"
-    ) / 9.0
+    """3x3 mean pool, stride 1, VALID, on (B, C, H, W).
+
+    Separable slice+add instead of lax.reduce_window: TPU layout
+    assignment puts a reduce-window's NON-windowed dims in the vector
+    lanes, and with (B, C) = (8, 3) that is a 24->512 padded tile
+    (~21x traffic) whose layout then propagates through the whole
+    temporal-loss subgraph and trips the HLO remat pass (device trace:
+    12 ms multiply_add fusions re-run 5-6x; bench/hlo_layout_hunt.py
+    pinned the origin to this op). Slices along H/W keep the natural
+    W-minor layout and the same math exactly."""
+    s = x[..., :-2] + x[..., 1:-1] + x[..., 2:]          # W window
+    s = s[..., :-2, :] + s[..., 1:-1, :] + s[..., 2:, :]  # H window
+    return s / 9.0
 
 
 def ssim_cf(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

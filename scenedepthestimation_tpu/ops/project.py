@@ -170,18 +170,46 @@ def reproject_coords(
     eps: float = 1e-7,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """depth (B, H, W) → source-view pixel coords as two W-minor maps
-    (x, y), each (B, H, W). Same math as backproject→transform→project
-    but with points kept (B, 3, H, W) so nothing is C-minor."""
+    (x, y), each (B, H, W). Same math as backproject→transform→project,
+    with every 3x3 matrix product UNROLLED into elementwise broadcast
+    arithmetic. The einsum form lowered these as dot_generals, and the
+    dots' layout preference propagated a batch-minor {0,2,1:T(8,128)}
+    layout (B=8 padded to 128 lanes, ~16x traffic) through the ENTIRE
+    temporal-loss subgraph, which in turn tripped XLA's remat pass
+    (12 ms fusions re-run 5-6x; device trace in bench/trace_temporal.py,
+    round-3 BASELINE notes). Elementwise-only keeps the natural W-minor
+    layout end to end."""
     b, h, w = depth.shape
-    grid_cf = pixel_grid(h, w, depth.dtype).transpose(2, 0, 1)  # (3, H, W)
-    rays = jnp.einsum("bij,jhw->bihw", k_inv, grid_cf)
-    pts = rays * depth[:, None]
-    rot = t_mat[:, :3, :3]
-    trans = t_mat[:, :3, 3]
-    pts = jnp.einsum("bij,bjhw->bihw", rot, pts) + trans[:, :, None, None]
-    cam = jnp.einsum("bij,bjhw->bihw", k, pts)
-    z = jnp.maximum(cam[:, 2], eps)
-    return cam[:, 0] / z, cam[:, 1] / z
+    grid = pixel_grid(h, w, depth.dtype)  # (H, W, 3); [..., 2] is ones
+    gx, gy = grid[..., 0], grid[..., 1]  # (H, W)
+
+    def col(m, i, j):  # (B, 1, 1) broadcast scalar of a (B, 3, 3)-ish mat
+        return m[:, i, j][:, None, None]
+
+    # rays_i = k_inv[i,0]*gx + k_inv[i,1]*gy + k_inv[i,2]
+    rays = [
+        col(k_inv, i, 0) * gx + col(k_inv, i, 1) * gy + col(k_inv, i, 2)
+        for i in range(3)
+    ]
+    # pts_i = rays_i * depth;  pts'_i = sum_j rot[i,j]*pts_j + trans_i
+    pts = [r * depth for r in rays]
+    moved = [
+        col(t_mat, i, 0) * pts[0]
+        + col(t_mat, i, 1) * pts[1]
+        + col(t_mat, i, 2) * pts[2]
+        + t_mat[:, i, 3][:, None, None]
+        for i in range(3)
+    ]
+    # cam_i = sum_j k[i,j] * moved_j
+    def cam(i):
+        return (
+            col(k, i, 0) * moved[0]
+            + col(k, i, 1) * moved[1]
+            + col(k, i, 2) * moved[2]
+        )
+
+    z = jnp.maximum(cam(2), eps)
+    return cam(0) / z, cam(1) / z
 
 
 def sample_table_cfirst(

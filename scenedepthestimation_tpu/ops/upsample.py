@@ -14,6 +14,7 @@ Layout: NHWC everywhere.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def upsample2x(x: jnp.ndarray, mode: str = "nearest") -> jnp.ndarray:
@@ -35,9 +36,16 @@ def upsample2x(x: jnp.ndarray, mode: str = "nearest") -> jnp.ndarray:
 
 
 def _blend_axis(t: jnp.ndarray, axis: int) -> jnp.ndarray:
+    # edge-clamped +-1 shifts as slice+concat: jnp.take with a clamped
+    # arange lowers to a real gather (scatter-add in the backward) —
+    # seen in the temporal train step's compiled HLO; slices are free.
     n = t.shape[axis]
-    lo = jnp.take(t, jnp.maximum(jnp.arange(n) - 1, 0), axis=axis)
-    hi = jnp.take(t, jnp.minimum(jnp.arange(n) + 1, n - 1), axis=axis)
+    lo = jnp.concatenate(
+        [lax.slice_in_dim(t, 0, 1, axis=axis),
+         lax.slice_in_dim(t, 0, n - 1, axis=axis)], axis=axis)
+    hi = jnp.concatenate(
+        [lax.slice_in_dim(t, 1, n, axis=axis),
+         lax.slice_in_dim(t, n - 1, n, axis=axis)], axis=axis)
     even = 0.75 * t + 0.25 * lo  # output index 2i   (src pos i - 0.25)
     odd = 0.75 * t + 0.25 * hi  # output index 2i+1 (src pos i + 0.25)
     stacked = jnp.stack([even, odd], axis=axis + 1)
