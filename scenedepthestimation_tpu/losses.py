@@ -20,10 +20,16 @@ from scenedepthestimation_tpu.ops.upsample import upsample2x
 
 
 def _avg_pool3(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3 mean pool, stride 1, VALID — the SSIM local window (NHWC)."""
-    return lax.reduce_window(
-        x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
-    ) / 9.0
+    """3x3 mean pool, stride 1, VALID — the SSIM local window (NHWC).
+
+    Separable slice+add instead of lax.reduce_window for the same
+    reason as ``_avg_pool3_cf`` below: TPU layout assignment favors
+    putting a reduce-window's NON-windowed dims (here B and C=3) in the
+    vector lanes, a padded layout that propagates into the surrounding
+    loss subgraph. Slices keep the natural layout; the math is exact."""
+    s = x[:, :, :-2] + x[:, :, 1:-1] + x[:, :, 2:]   # W window
+    s = s[:, :-2] + s[:, 1:-1] + s[:, 2:]            # H window
+    return s / 9.0
 
 
 def ssim(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -101,10 +107,16 @@ def mono_supervised_loss(
 
 
 def _downsample_image(img: jnp.ndarray, scale: int) -> jnp.ndarray:
-    """2x area downsample applied ``scale`` times (for per-scale terms)."""
+    """2x area downsample applied ``scale`` times (for per-scale terms).
+
+    Strided slices + add instead of reduce_window (layout note on
+    ``_avg_pool3``); exact same math."""
     for _ in range(scale):
-        img = lax.reduce_window(
-            img, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        h, w = img.shape[1] // 2 * 2, img.shape[2] // 2 * 2  # VALID trim
+        img = img[:, :h, :w]
+        img = (
+            img[:, 0::2, 0::2] + img[:, 0::2, 1::2]
+            + img[:, 1::2, 0::2] + img[:, 1::2, 1::2]
         ) * 0.25
     return img
 

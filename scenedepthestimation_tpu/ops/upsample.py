@@ -101,9 +101,14 @@ def upsample4x_bilinear_packed(x: jnp.ndarray) -> jnp.ndarray:
     from scenedepthestimation_tpu.ops.packed import depth_to_space
 
     def shifts(t, axis):
+        # slice+concat edge-clamped shifts (see _blend_axis layout note)
         n = t.shape[axis]
-        lo = jnp.take(t, jnp.maximum(jnp.arange(n) - 1, 0), axis=axis)
-        hi = jnp.take(t, jnp.minimum(jnp.arange(n) + 1, n - 1), axis=axis)
+        lo = jnp.concatenate(
+            [lax.slice_in_dim(t, 0, 1, axis=axis),
+             lax.slice_in_dim(t, 0, n - 1, axis=axis)], axis=axis)
+        hi = jnp.concatenate(
+            [lax.slice_in_dim(t, 1, n, axis=axis),
+             lax.slice_in_dim(t, n - 1, n, axis=axis)], axis=axis)
         return lo, t, hi
 
     dt = x.dtype
