@@ -99,6 +99,47 @@ def test_train_step_has_gradient_psum_only(mesh):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_temporal_train_step_sharded(mesh):
+    """The temporal (depth+pose) step runs DP-sharded: both networks'
+    gradients sync (all-reduce present), params stay replicated, and the
+    batch stays sharded — the multi-chip story covers every train mode,
+    not just stereo."""
+    from scenedepthestimation_tpu.configs import MonoConfig
+
+    cfg = RunConfig(
+        name="t_temporal_sh", pipeline="mono", batch_size=8,
+        mono=MonoConfig(height=32, width=64),
+    )
+    rng = np.random.default_rng(0)
+    frames = shard_batch(
+        jnp.asarray(
+            rng.integers(0, 256, (8, 3, 32, 64, 3), dtype=np.uint8)
+        ),
+        mesh,
+    )
+    k = shard_batch(
+        jnp.asarray(
+            np.broadcast_to(
+                np.array(
+                    [[40.0, 0, 32], [0, 40.0, 16], [0, 0, 1]], np.float32
+                ),
+                (8, 3, 3),
+            )
+        ),
+        mesh,
+    )
+    batch = {"frames": frames, "K": k}
+    state = train.make_temporal_train_state(cfg, seed=0)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step = train.make_mono_temporal_train_step(cfg)
+    hlo = step.lower(state, batch).compile().as_text()
+    assert "all-reduce" in hlo  # gradient psum over the data axis
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
 def test_uneven_batch_rejected(mesh):
     """Batch not divisible by mesh size must fail loudly, not silently."""
     with pytest.raises(ValueError):
