@@ -40,6 +40,11 @@ _MD2_DECODER_ORDER = tuple(
     f"upconv_{i}_{j}" for i in range(4, -1, -1) for j in (0, 1)
 ) + tuple(f"dispconv_{s}" for s in (0, 1, 2, 3))
 
+# monodepth2-family PoseDecoder serializes through
+# ``nn.ModuleList([squeeze, pose0, pose1, pose2])`` → ``net.N.*`` keys
+# (UNVERIFIED vs the empty mount; family convention).
+_MD2_POSE_ORDER = ("squeeze", "pose_0", "pose_1", "pose_2")
+
 
 def _canonical_path(parts: list) -> list:
     """Apply torchvision→flax module-name rewrites."""
@@ -56,6 +61,15 @@ def _canonical_path(parts: list) -> list:
             continue
         if re.fullmatch(r"layer\d+", p) and i + 1 < len(parts) and parts[i + 1].isdigit():
             out.append(f"{p}_{parts[i + 1]}")
+            i += 2
+            continue
+        if (
+            p == "net"
+            and i + 1 < len(parts)
+            and parts[i + 1].isdigit()
+            and int(parts[i + 1]) < len(_MD2_POSE_ORDER)
+        ):
+            out.append(_MD2_POSE_ORDER[int(parts[i + 1])])
             i += 2
             continue
         if (
@@ -86,9 +100,12 @@ def _set(tree: Dict[str, Any], path: list, leaf: np.ndarray) -> None:
 
 
 def convert_state_dict(
-    state: Mapping[str, Any], prefix: str = ""
+    state: Mapping[str, Any], prefix: Any = ""
 ) -> Dict[str, Any]:
-    """Flat torch state dict → {'params': ..., 'batch_stats': ...}."""
+    """Flat torch state dict → {'params': ..., 'batch_stats': ...}.
+
+    ``prefix`` may be a str (one nesting level) or a tuple of levels
+    (e.g. ``("pose", "encoder")`` for a pose_encoder.pth)."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
@@ -106,13 +123,17 @@ def convert_state_dict(
         pname = parts[-1]
         module = ".".join(parts[:-1])
         path = _canonical_path(parts[:-1])
-        if prefix and path[:1] != [prefix]:
+        if prefix:
+            nest = [prefix] if isinstance(prefix, str) else list(prefix)
             # monodepth2's ResnetEncoder wraps torchvision as
             # ``self.encoder``, so a real encoder.pth already carries the
-            # ``encoder.`` component — only add the nesting prefix when
+            # ``encoder.`` component — only add that nesting level when
             # the keys don't carry it themselves (double-nesting broke
             # genuine reference checkpoint dirs; r2 review finding).
-            path = [prefix] + path
+            if path[:1] == nest[-1:]:
+                path = nest[:-1] + path
+            else:
+                path = nest + path
 
         if pname == "num_batches_tracked":
             continue
@@ -171,11 +192,21 @@ def load_torch_dir(path: str, pipeline: str = "mono") -> Dict[str, Any]:
     """Reference-family layout: per-network .pth files in one directory.
 
     ``encoder.pth`` nests under ``encoder``; ``depth.pth``/``decoder.pth``
-    under ``decoder``; anything else is merged at the root.
+    under ``decoder``; the pose pair nests under ``pose/...`` (a
+    ``pose_encoder.pth`` also carries ``encoder.``-prefixed keys — nesting
+    it at the root would CLOBBER the depth encoder); anything else is
+    merged at the root.
     """
     import torch
 
-    nest_by_stem = {"encoder": "encoder", "depth": "decoder", "decoder": "decoder"}
+    nest_by_stem = {
+        "encoder": "encoder",
+        "depth": "decoder",
+        "decoder": "decoder",
+        "pose_encoder": ("pose", "encoder"),
+        "pose": ("pose", "decoder"),
+        "pose_decoder": ("pose", "decoder"),
+    }
     out: Dict[str, Any] = {"params": {}, "batch_stats": {}}
     for entry in sorted(os.listdir(path)):
         if not entry.endswith((".pth", ".pt")):
@@ -191,6 +222,38 @@ def load_torch_dir(path: str, pipeline: str = "mono") -> Dict[str, Any]:
         )
         _merge(out["params"], converted.get("params", {}))
         _merge(out["batch_stats"], converted.get("batch_stats", {}))
+    _slice_pose_head(out["params"])
     if not out["batch_stats"]:
         out.pop("batch_stats")
+    return out
+
+
+def _slice_pose_head(params: Dict[str, Any]) -> None:
+    """monodepth2-family PoseDecoders predict ``num_frames_to_predict_for
+    = 2`` poses (12 output channels); only the first 6-vector is consumed
+    (family convention; UNVERIFIED vs the empty mount). Our PoseNet
+    predicts the used 6 directly — slice a 12-channel head down."""
+    head = params.get("pose", {}).get("decoder", {}).get("pose_2")
+    if not isinstance(head, dict):
+        return
+    kernel = head.get("kernel")
+    if kernel is not None and kernel.shape[-1] % 6 == 0 and kernel.shape[-1] > 6:
+        head["kernel"] = np.ascontiguousarray(kernel[..., :6])
+        if head.get("bias") is not None:
+            head["bias"] = np.ascontiguousarray(head["bias"][:6])
+
+
+def temporal_variables_from_dir(path: str) -> Dict[str, Any]:
+    """Reference-family weight dir → the ``{'depth': ..., 'pose': ...}``
+    nesting ``train.make_temporal_train_state`` uses (depth nets at the
+    root of the dir layout; pose pair under ``pose``)."""
+    flat = load_torch_dir(path)
+
+    def renest(tree: Dict[str, Any]) -> Dict[str, Any]:
+        pose = tree.pop("pose", {})
+        return {"depth": tree, "pose": pose}
+
+    out = {"params": renest(flat.get("params", {}))}
+    if "batch_stats" in flat:
+        out["batch_stats"] = renest(flat["batch_stats"])
     return out

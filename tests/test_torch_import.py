@@ -186,3 +186,100 @@ def test_load_torch_file_strips_bookkeeping(tmp_path):
     variables = load_torch_file(path)
     assert "conv1" in variables["params"]
     assert "height" not in variables["params"]
+
+
+def _save_md2_pose_dir(tmp_path, tpose):
+    """Save a PoseNetTorch in the monodepth2 on-disk layout:
+    pose_encoder.pth with wrapped ``encoder.*`` keys, pose.pth with the
+    PoseDecoder's ModuleList ``net.N.*`` keys."""
+    enc_state = {
+        f"encoder.{k}": v for k, v in tpose.encoder.state_dict().items()
+    }
+    torch.save(enc_state, str(tmp_path / "pose_encoder.pth"))
+    order = ["squeeze", "pose_0", "pose_1", "pose_2"]
+    dec_state = {}
+    for i, name in enumerate(order):
+        for k, v in getattr(tpose, name).state_dict().items():
+            dec_state[f"net.{i}.{k}"] = v
+    torch.save(dec_state, str(tmp_path / "pose.pth"))
+
+
+def test_posenet_dir_import_parity(tmp_path):
+    """The pose pair of a reference-family weight dir imports into our
+    Flax PoseNet with forward parity — including the family's
+    12-channel (2-frame) pose head, sliced to the used first 6."""
+    import jax
+
+    from scenedepthestimation_tpu.models.posenet import PoseNet
+    from scenedepthestimation_tpu.utils.torch_import import (
+        temporal_variables_from_dir,
+    )
+
+    torch.manual_seed(11)
+    tpose = torch_ref.PoseNetTorch(num_frames_to_predict_for=2).eval()
+    # Randomize BN running stats so eval-mode parity actually covers them.
+    with torch.no_grad():
+        for m in tpose.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.6, 1.4)
+    _save_md2_pose_dir(tmp_path, tpose)
+
+    variables = temporal_variables_from_dir(str(tmp_path))
+    pose_vars = {
+        "params": variables["params"]["pose"],
+        "batch_stats": variables["batch_stats"]["pose"],
+    }
+    # Head sliced 12 -> 6.
+    assert pose_vars["params"]["decoder"]["pose_2"]["kernel"].shape[-1] == 6
+
+    model = PoseNet()
+    rng = np.random.default_rng(12)
+    pair = rng.normal(size=(2, 64, 128, 6)).astype(np.float32)
+    aa, tr = model.apply(pose_vars, jnp.asarray(pair), train=False)
+    with torch.no_grad():
+        want_aa, want_tr = tpose(torch.from_numpy(pair.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(aa), want_aa.numpy(), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(tr), want_tr.numpy(), atol=2e-6)
+    # The imported tree drops into the temporal TrainState slot unchanged.
+    from scenedepthestimation_tpu import train
+    from scenedepthestimation_tpu.configs import MonoConfig, RunConfig
+
+    cfg = RunConfig(
+        name="t_pose_import", pipeline="mono", batch_size=2,
+        mono=MonoConfig(height=64, width=128),
+    )
+    state = train.make_temporal_train_state(cfg, seed=0)
+    want_tree = jax.tree.structure(state.params["pose"])
+    got_tree = jax.tree.structure(variables["params"]["pose"])
+    assert want_tree == got_tree
+
+
+def test_pose_files_do_not_clobber_depth_encoder(tmp_path):
+    """A full reference weight dir carries BOTH encoder.pth (depth, 3-ch
+    conv1) and pose_encoder.pth (6-ch conv1) — the pose encoder must nest
+    under pose/, not overwrite the depth encoder at the root."""
+    from scenedepthestimation_tpu.utils.torch_import import load_torch_dir
+
+    torch.manual_seed(13)
+    tmodel = torch_ref.MonoDepthNet().eval()
+    enc_state = {
+        f"encoder.{k}": v for k, v in tmodel.encoder.state_dict().items()
+    }
+    torch.save(enc_state, str(tmp_path / "encoder.pth"))
+    torch.save(
+        _as_md2_modulelist(tmodel.decoder.state_dict()),
+        str(tmp_path / "depth.pth"),
+    )
+    tpose = torch_ref.PoseNetTorch().eval()
+    _save_md2_pose_dir(tmp_path, tpose)
+
+    variables = load_torch_dir(str(tmp_path))
+    depth_conv1 = variables["params"]["encoder"]["conv1"]["kernel"]
+    pose_conv1 = variables["params"]["pose"]["encoder"]["conv1"]["kernel"]
+    assert depth_conv1.shape[2] == 3  # depth encoder untouched
+    assert pose_conv1.shape[2] == 6
+    np.testing.assert_array_equal(
+        depth_conv1,
+        tmodel.encoder.conv1.weight.detach().numpy().transpose(2, 3, 1, 0),
+    )

@@ -83,10 +83,10 @@ class Bottleneck(nn.Module):
 class ResNetEncoder(nn.Module):
     """5-level pyramid: relu(bn(conv1)), layer1..layer4 (strides /2../32)."""
 
-    def __init__(self, num_layers: int = 18):
+    def __init__(self, num_layers: int = 18, in_ch: int = 3):
         super().__init__()
         assert num_layers in (18, 34, 50)
-        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.conv1 = nn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.maxpool = nn.MaxPool2d(3, 2, 1)
         chans = [64, 128, 256, 512]
@@ -181,6 +181,38 @@ class MonoDepthNet(nn.Module):
 
     def forward(self, x):
         return self.decoder(self.encoder(x))
+
+
+# ---------------------------------------------------------------------------
+# Pose network (mirrors models/posenet.py; monodepth2-family layout).
+#
+# The family's PoseDecoder predicts ``num_frames_to_predict_for=2``
+# frames (12 output channels) and the trainer uses only the first
+# 6-vector; it serializes its convs through
+# ``nn.ModuleList([squeeze, pose0, pose1, pose2])`` → ``net.N.*`` keys
+# (UNVERIFIED vs the empty reference mount; family convention). Our
+# Flax PoseNet predicts the used 6-vector directly; the importer slices
+# a 12-channel head to its first 6.
+# ---------------------------------------------------------------------------
+
+
+class PoseNetTorch(nn.Module):
+    def __init__(self, num_frames_to_predict_for: int = 2):
+        super().__init__()
+        self.encoder = ResNetEncoder(in_ch=6)
+        self.squeeze = nn.Conv2d(512, 256, 1)
+        self.pose_0 = nn.Conv2d(256, 256, 3, 1, 1)
+        self.pose_1 = nn.Conv2d(256, 256, 3, 1, 1)
+        self.pose_2 = nn.Conv2d(256, 6 * num_frames_to_predict_for, 1)
+
+    def forward(self, pair):
+        f = self.encoder(pair)[-1]
+        y = F.relu(self.squeeze(f))
+        y = F.relu(self.pose_0(y))
+        y = F.relu(self.pose_1(y))
+        y = self.pose_2(y)
+        y = 0.01 * y.mean(3).mean(2)  # (B, 6*K), frame-0 pose first
+        return y[:, :3], y[:, 3:6]
 
 
 # ---------------------------------------------------------------------------
