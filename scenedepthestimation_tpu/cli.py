@@ -86,6 +86,7 @@ def cmd_eval(args: argparse.Namespace) -> int:
         split_file=args.split_file,
         max_items=args.max_items,
         seed=args.seed,
+        sequence=args.seq,
     )
     print(json.dumps(metrics))
     return 0
@@ -355,6 +356,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pe.add_argument("--max-items", type=int, default=None)
     pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument(
+        "--seq",
+        default="09",
+        help="KITTI odometry sequence for --split odom (pose ATE)",
+    )
     pe.set_defaults(fn=cmd_eval)
 
     pb = sub.add_parser("bench", help="throughput benchmark")

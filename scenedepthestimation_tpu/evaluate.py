@@ -9,6 +9,8 @@ Protocols:
 * ``nyu``       — NYUv2: center crop (45..471, 41..601), 10 m cap,
   median scaling.
 * ``kitti2015`` — stereo: EPE + D1-all over valid GT pixels.
+* ``odom``      — KITTI odometry pose ATE (monodepth2-lineage 5-frame
+  snippet protocol) on a sequence with GT poses (conventionally 09/10).
 
 Per-image metric kernels are jit-cached per GT resolution (KITTI frames
 come in a handful of sizes). Results stream as one JSON line per batch
@@ -180,6 +182,102 @@ def eval_stereo_dataset(
     return result
 
 
+def _load_pose_net(weights: Optional[str], cfg: RunConfig, seed: int):
+    """PoseNet + variables from any accepted checkpoint layout.
+
+    Accepts the Trainer's ``*_pose`` Orbax artifact (pose tree at the
+    root), a reference-family torch dir (``pose_encoder.pth`` +
+    ``pose.pth`` nesting under ``params['pose']``), or None (random init,
+    smoke only)."""
+    from scenedepthestimation_tpu.models.posenet import PoseNet
+    from scenedepthestimation_tpu.utils import checkpoint
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = PoseNet(dtype=dtype)
+    h, w = cfg.mono.height, cfg.mono.width
+    init = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 6), dtype)
+    )
+    if weights is None:
+        return model, init
+    loaded = checkpoint.load_variables(weights, pipeline="mono")
+    params = loaded.get("params", {})
+    stats = loaded.get("batch_stats", {})
+    if "pose" in params:
+        params = params["pose"]
+        stats = stats.get("pose", {}) if isinstance(stats, dict) else {}
+    if "squeeze" not in params.get("decoder", {}):
+        raise ValueError(
+            f"{weights!r} holds no pose network (expected a 'pose' subtree "
+            "or a PoseNet-rooted checkpoint such as the Trainer's *_pose "
+            "artifact)"
+        )
+    variables = {"params": params, "batch_stats": stats or init["batch_stats"]}
+    return model, variables
+
+
+def eval_pose_dataset(
+    weights: Optional[str],
+    dataset,
+    cfg: RunConfig,
+    batch_size: int = 8,
+    max_items: Optional[int] = None,
+    track_length: int = 5,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """KITTI odometry pose evaluation (monodepth2-lineage protocol,
+    grade E2): PoseNet on every consecutive frame pair, ATE mean/std
+    over all overlapping ``track_length``-frame snippets against the
+    sequence's GT trajectory. The network forward is ONE jitted batched
+    program (uint8 pairs in, fp32 4x4 transforms out); the 4x4 chaining
+    is host-side numpy (SURVEY §5.5-style one-JSON-line streaming)."""
+    from scenedepthestimation_tpu.data.odometry import pair_batches
+    from scenedepthestimation_tpu.ops.preprocess import preprocess
+    from scenedepthestimation_tpu.ops.project import pose_vec_to_mat
+
+    gt = dataset.gt_poses()
+    if gt is None:
+        raise ValueError(
+            f"sequence {dataset.sequence!r} has no GT poses file"
+        )
+    if max_items is not None:
+        dataset = dataclasses.replace(
+            dataset, frame_ids=dataset.frame_ids[:max_items]
+        )
+        gt = gt[:max_items]
+
+    model, variables = _load_pose_net(weights, cfg, seed)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    net_hw = (cfg.mono.height, cfg.mono.width)
+
+    @jax.jit
+    def run(pairs):  # (b, 2, H, W, 3) uint8 → (b, 4, 4) fp32
+        b = pairs.shape[0]
+        flat = pairs.reshape((2 * b,) + pairs.shape[2:])
+        x = preprocess(flat, net_hw, cfg.pre, compute_dtype=dtype)
+        pair = jnp.concatenate([x[0::2], x[1::2]], axis=-1)
+        aa, tt = model.apply(variables, pair, train=False)
+        return pose_vec_to_mat(
+            aa.astype(jnp.float32), tt.astype(jnp.float32), invert=False
+        )
+
+    preds = []
+    for batch in pair_batches(dataset, batch_size):
+        mats = np.asarray(run(jnp.asarray(batch["pairs"])))
+        preds.append(mats[: batch["n_real"]])
+    pred_local = np.concatenate(preds, axis=0)
+
+    ates = M.snippet_ates(gt, pred_local, track_length=track_length)
+    out = {
+        "ate_mean": float(ates.mean()),
+        "ate_std": float(ates.std()),
+        "n_snippets": int(ates.shape[0]),
+        "n_frames": int(len(dataset)),
+    }
+    print(json.dumps({"protocol": "odom", "sequence": dataset.sequence, **out}))
+    return out
+
+
 def run_eval(
     config: str | RunConfig = "mono_eigen_eval",
     weights: Optional[str] = None,
@@ -189,11 +287,19 @@ def run_eval(
     max_items: Optional[int] = None,
     batch_size: Optional[int] = None,
     seed: int = 0,
+    sequence: str = "09",
 ) -> Dict[str, float]:
     """CLI entry (SURVEY §3.3): build dataset + predictor, evaluate."""
     cfg = configs.get(config) if isinstance(config, str) else config
     if batch_size is not None:
         cfg = dataclasses.replace(cfg, batch_size=batch_size)
+    if split == "odom":
+        from scenedepthestimation_tpu.data.odometry import KittiOdometryDataset
+
+        ds = KittiOdometryDataset(root=data_root, sequence=sequence)
+        return eval_pose_dataset(
+            weights, ds, cfg, cfg.batch_size, max_items, seed=seed
+        )
     predictor = load_weights(weights, cfg, seed=seed)
 
     if split == "eigen":

@@ -113,6 +113,77 @@ def evaluate_depth_image(
     return out
 
 
+# --- Pose / odometry metrics (SURVEY §2 C15-family; monodepth2-lineage
+# snippet-ATE protocol, grade E2 — 5-frame tracks, first-position offset,
+# least-squares scale alignment; UNVERIFIED vs the empty reference
+# mount). These operate on handfuls of 4x4 matrices — host-side numpy is
+# the right tool; there is nothing here for a TPU program to accelerate.
+
+
+def relative_poses(global_poses) -> "np.ndarray":
+    """(N, 4, 4) cam-to-world trajectory → (N-1, 4, 4) local steps.
+
+    ``L_i = inv(G_i) @ G_{i+1}`` maps camera-(i+1) coordinates into
+    camera-i coordinates — the per-frame cam-to-world increment that
+    :func:`accumulate_poses` chains back into a trajectory.
+    """
+    import numpy as np
+
+    g = np.asarray(global_poses, dtype=np.float64)
+    return np.linalg.inv(g[:-1]) @ g[1:]
+
+
+def accumulate_poses(local_poses) -> "np.ndarray":
+    """(M, 4, 4) local cam-to-world steps → (M+1, 3) positions from I."""
+    import numpy as np
+
+    cam_to_world = np.eye(4)
+    xyz = [cam_to_world[:3, 3].copy()]
+    for step in np.asarray(local_poses, dtype=np.float64):
+        cam_to_world = cam_to_world @ step
+        xyz.append(cam_to_world[:3, 3].copy())
+    return np.stack(xyz)
+
+
+def compute_ate(gt_xyz, pred_xyz) -> float:
+    """Absolute trajectory error of one snippet (family protocol):
+    align the first positions, scale-align least-squares, RMSE."""
+    import numpy as np
+
+    gt = np.asarray(gt_xyz, dtype=np.float64)
+    pred = np.asarray(pred_xyz, dtype=np.float64)
+    pred = pred + (gt[0] - pred[0])[None]
+    scale = np.sum(gt * pred) / max(np.sum(pred**2), 1e-12)
+    return float(np.sqrt(np.mean(np.sum((scale * pred - gt) ** 2, axis=-1))))
+
+
+def snippet_ates(
+    gt_global_poses, pred_local_poses, track_length: int = 5
+):
+    """Per-snippet ATEs over every overlapping ``track_length``-frame
+    window: GT trajectory from the poses file, predicted trajectory from
+    the network's (N-1, 4, 4) frame-to-frame transforms ``T_{(i+1)<-i}``
+    (the training convention of ``pose_vec_to_mat(..., invert=False)``;
+    its inverse is the local cam-to-world step)."""
+    import numpy as np
+
+    pred_local = np.linalg.inv(np.asarray(pred_local_poses, dtype=np.float64))
+    gt_local = relative_poses(gt_global_poses)
+    if pred_local.shape[0] != gt_local.shape[0]:
+        raise ValueError(
+            f"{pred_local.shape[0]} predicted steps vs {gt_local.shape[0]} GT"
+        )
+    steps = track_length - 1
+    ates = [
+        compute_ate(
+            accumulate_poses(gt_local[i : i + steps]),
+            accumulate_poses(pred_local[i : i + steps]),
+        )
+        for i in range(gt_local.shape[0] - steps + 1)
+    ]
+    return np.asarray(ates)
+
+
 def disparity_errors(
     pred_disp: jnp.ndarray,
     gt_disp: jnp.ndarray,
