@@ -130,6 +130,24 @@ def cmd_predict_batch(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    from scenedepthestimation_tpu import api
+    from scenedepthestimation_tpu.serve import serve_stdio
+
+    predictor = api.load_weights(
+        args.weights, _resolve_config(args.config, args), seed=args.seed
+    )
+    n = serve_stdio(
+        predictor,
+        args.output,
+        depth=args.depth,
+        artifacts=args.artifacts,
+        post_process=args.post_process,
+    )
+    print(json.dumps({"served": n}), file=sys.stderr)
+    return 0
+
+
 def cmd_train(args: argparse.Namespace) -> int:
     import dataclasses
     import time
@@ -485,6 +503,29 @@ def build_parser() -> argparse.ArgumentParser:
     )
     px.add_argument("--seed", type=int, default=0)
     px.set_defaults(fn=cmd_export)
+
+    ps = sub.add_parser(
+        "serve",
+        help="streaming JSONL inference server on stdin/stdout "
+        "(pipelined dispatch, see docs/SERVING.md)",
+    )
+    ps.add_argument("--config", default="mono_kitti_192x640_fp32")
+    ps.add_argument("--num-layers", type=int, default=None, help="encoder depth: 18, 34 or 50")
+    ps.add_argument("--weights", default=None)
+    ps.add_argument("--output", required=True, help="artifact directory")
+    ps.add_argument(
+        "--depth", type=int, default=3,
+        help="requests kept in flight (measured sweet spot 2-3; "
+        "BASELINE.md stream-serving table)",
+    )
+    ps.add_argument(
+        "--artifacts", default="depth",
+        help="comma-set of depth,disp,png to dump per request "
+        "('' = respond with stats only)",
+    )
+    ps.add_argument("--post-process", action="store_true", help="flip-TTA")
+    ps.add_argument("--seed", type=int, default=0)
+    ps.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -1,0 +1,191 @@
+"""Streaming inference server (SURVEY C19 serving surface, production
+form of the measured round-3 stream-serving structure).
+
+Protocol: JSON lines. One request per line on stdin:
+
+    {"id": 7, "image": "frame.png"}                    (mono)
+    {"id": 8, "left": "L.png", "right": "R.png"}       (stereo)
+
+optional per-request ``"output"``: basename stem for the dumped
+artifacts (default: the image stem). One response line per request, in
+submission order:
+
+    {"id": 7, "output": ".../frame_depth.npy", "shape": [375, 1242],
+     "ms": 12.3}
+    {"id": 9, "error": "..."}                          (bad request)
+
+Why this shape: the round-3 async-serving study (BASELINE.md, "Async
+b=1 stream serving") measured that keeping 2-3 requests IN FLIGHT —
+JAX async dispatch, results fetched ``depth`` requests behind —
+overlaps host decode/staging with device compute and recovers up to
+~1.9x over a blocking loop, and that anything deeper only papers over
+slow links. ``serve_requests`` is that exact structure wrapped in a
+generator: decode request i+1 while i..i-depth execute; a decode error
+surfaces as an in-order error response instead of killing the server.
+
+The jit cache is per input SHAPE (api.Predictor's bounded program
+cache), so a stream of same-camera frames compiles once; a new
+resolution pays one compile. Artifacts are written by the resolver
+(host-side), so file IO also overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from collections import deque
+from typing import Any, Dict, Iterable, Iterator, Optional
+
+import numpy as np
+
+from scenedepthestimation_tpu.api import Predictor
+from scenedepthestimation_tpu.data import io
+
+
+def _decode(req: Dict[str, Any], stereo: bool):
+    """Host decode. Returns (args, stem) or raises ValueError."""
+    if "_error" in req:
+        raise ValueError(req["_error"])
+    if stereo:
+        if "left" not in req or "right" not in req:
+            raise ValueError("stereo server needs 'left' and 'right' paths")
+        left = io.load_image(req["left"])
+        right = io.load_image(req["right"])
+        if left.shape != right.shape:
+            raise ValueError(
+                f"rectified pair shape mismatch: {left.shape} vs {right.shape}"
+            )
+        return (left[None], right[None]), os.path.splitext(
+            os.path.basename(req["left"])
+        )[0]
+    if "image" not in req:
+        raise ValueError("mono server needs an 'image' path")
+    img = io.load_image(req["image"])
+    return (img[None],), os.path.splitext(os.path.basename(req["image"]))[0]
+
+
+def serve_requests(
+    predictor: Predictor,
+    requests: Iterable[Dict[str, Any]],
+    out_dir: str,
+    depth: int = 3,
+    artifacts: str = "depth",
+    post_process: bool = False,
+) -> Iterator[Dict[str, Any]]:
+    """Generator: request dicts in → response dicts out, in order, with
+    up to ``depth`` device programs in flight.
+
+    ``artifacts``: comma-set of {"depth", "disp", "png"} — npy depth map,
+    npy disparity, colormapped disparity png. Empty string dumps nothing
+    (response carries stats only; useful for load probing).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    stereo = predictor.cfg.pipeline == "stereo"
+    wanted = {a for a in artifacts.split(",") if a}
+    unknown = wanted - {"depth", "disp", "png"}
+    if unknown:
+        raise ValueError(f"unknown artifacts {sorted(unknown)}")
+    pending: deque = deque()
+
+    def _resolve():
+        req, stem, out, t0 = pending.popleft()
+        if out is None:  # decode-time failure, already formatted
+            return stem
+        dep = np.asarray(out["depth"])[0]
+        disp = np.asarray(out["disp"])[0]
+        resp = {
+            "id": req.get("id"),
+            "shape": list(dep.shape),
+            "ms": round((time.perf_counter() - t0) * 1e3, 3),
+        }
+        base = os.path.join(out_dir, str(req.get("output", stem)))
+        if "depth" in wanted:
+            np.save(base + "_depth.npy", dep)
+            resp["output"] = base + "_depth.npy"
+        if "disp" in wanted:
+            np.save(base + "_disp.npy", disp)
+        if "png" in wanted:
+            from PIL import Image
+
+            from scenedepthestimation_tpu.utils.colormap import colormap_magma
+
+            Image.fromarray(colormap_magma(disp)).save(base + "_disp.png")
+        return resp
+
+    for req in requests:
+        t0 = time.perf_counter()
+        try:
+            args, stem = _decode(req, stereo)
+            if stereo:
+                out = predictor.stereo_forward(*args)
+            else:
+                out = predictor.mono_forward(*args, post_process=post_process)
+            pending.append((req, stem, out, t0))
+        except Exception as e:  # noqa: BLE001 — a bad request must not
+            # kill the stream; it surfaces as an in-order error response.
+            pending.append(
+                (req, {"id": req.get("id"), "error": str(e)}, None, t0)
+            )
+        while len(pending) > depth:
+            yield _resolve()
+    while pending:
+        yield _resolve()
+
+
+def serve_stdio(
+    predictor: Predictor,
+    out_dir: str,
+    depth: int = 3,
+    artifacts: str = "depth",
+    post_process: bool = False,
+    stdin=None,
+    stdout=None,
+) -> int:
+    """stdin/stdout JSONL loop (the ``scenedepth serve`` CLI body).
+
+    Emits one ``{"ready": ...}`` line after warmup so a supervisor can
+    gate traffic, then one response line per request. A malformed JSON
+    line gets an error response with id null. Returns the request count.
+    """
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+
+    def _requests():
+        print(
+            json.dumps(
+                {
+                    "ready": True,
+                    "pipeline": predictor.cfg.pipeline,
+                    "config": predictor.cfg.name,
+                    "depth": depth,
+                }
+            ),
+            file=stdout,
+            flush=True,
+        )
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                if not isinstance(req, dict):
+                    req = {"_error": f"expected a JSON object, got {req!r}"}
+            except json.JSONDecodeError as e:
+                req = {"_error": f"malformed JSON: {e}"}
+            yield req
+
+    n = 0
+    for resp in serve_requests(
+        predictor,
+        _requests(),
+        out_dir,
+        depth=depth,
+        artifacts=artifacts,
+        post_process=post_process,
+    ):
+        n += 1
+        print(json.dumps(resp), file=stdout, flush=True)
+    return n

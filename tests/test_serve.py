@@ -1,0 +1,136 @@
+"""Streaming inference server (serve.py): ordering, pipelining window,
+artifact dumping, per-request error isolation, and the stdio loop.
+
+Tiny net resolution so the CPU test backend compiles once, fast."""
+
+import dataclasses
+import io as _io
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from scenedepthestimation_tpu import api, configs
+from scenedepthestimation_tpu.serve import serve_requests, serve_stdio
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = configs.get("mono_kitti_192x640_fp32")
+    cfg = dataclasses.replace(
+        cfg, mono=dataclasses.replace(cfg.mono, height=32, width=64)
+    )
+    return api.load_weights(None, cfg, seed=0)
+
+
+def _frames(tmp_path, n, hw=(32, 64)):
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n):
+        arr = rng.integers(0, 255, size=(*hw, 3), dtype=np.uint8)
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    return paths
+
+
+def test_serve_requests_order_and_artifacts(predictor, tmp_path):
+    paths = _frames(tmp_path, 5)
+    reqs = [{"id": i, "image": p} for i, p in enumerate(paths)]
+    out_dir = str(tmp_path / "out")
+    resps = list(
+        serve_requests(
+            predictor, reqs, out_dir, depth=2, artifacts="depth,disp,png"
+        )
+    )
+    assert [r["id"] for r in resps] == [0, 1, 2, 3, 4]
+    for i, r in enumerate(resps):
+        assert r["shape"] == [32, 64]
+        assert r["ms"] > 0
+        assert os.path.exists(r["output"])
+        assert os.path.exists(os.path.join(out_dir, f"f{i}_disp.npy"))
+        assert os.path.exists(os.path.join(out_dir, f"f{i}_disp.png"))
+    dep = np.load(resps[0]["output"])
+    assert dep.shape == (32, 64) and np.isfinite(dep).all() and (dep > 0).all()
+
+
+def test_serve_requests_matches_predict_mono(predictor, tmp_path):
+    (p,) = _frames(tmp_path, 1)
+    out_dir = str(tmp_path / "out2")
+    (resp,) = serve_requests(
+        predictor, [{"id": 0, "image": p}], out_dir, depth=3
+    )
+    ref = api.predict_mono(
+        predictor, np.asarray(Image.open(p).convert("RGB"))
+    )
+    np.testing.assert_allclose(
+        np.load(resp["output"]), ref["depth"], rtol=1e-6
+    )
+
+
+def test_serve_requests_error_isolation(predictor, tmp_path):
+    paths = _frames(tmp_path, 2)
+    reqs = [
+        {"id": "a", "image": paths[0]},
+        {"id": "bad", "image": str(tmp_path / "missing.png")},
+        {"id": "worse"},  # no image key at all
+        {"id": "b", "image": paths[1]},
+    ]
+    resps = list(
+        serve_requests(predictor, reqs, str(tmp_path / "out3"), depth=2)
+    )
+    assert [r["id"] for r in resps] == ["a", "bad", "worse", "b"]
+    assert "error" not in resps[0] and "error" not in resps[3]
+    assert "missing.png" in resps[1]["error"]
+    assert "image" in resps[2]["error"]
+
+
+def test_serve_requests_rejects_unknown_artifact(predictor, tmp_path):
+    with pytest.raises(ValueError, match="unknown artifacts"):
+        list(
+            serve_requests(
+                predictor, [], str(tmp_path / "o"), artifacts="depth,gif"
+            )
+        )
+
+
+def test_serve_stdio_protocol(predictor, tmp_path):
+    paths = _frames(tmp_path, 2)
+    lines = [
+        json.dumps({"id": 1, "image": paths[0]}),
+        "not json at all {",
+        "",  # blank lines are skipped
+        json.dumps({"id": 2, "image": paths[1], "output": "renamed"}),
+    ]
+    stdin = _io.StringIO("\n".join(lines) + "\n")
+    stdout = _io.StringIO()
+    n = serve_stdio(
+        predictor, str(tmp_path / "out4"), depth=2, stdin=stdin, stdout=stdout
+    )
+    out_lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert out_lines[0]["ready"] is True
+    assert out_lines[0]["pipeline"] == "mono"
+    assert n == 3  # 2 frames + 1 malformed-line error
+    assert [r.get("id") for r in out_lines[1:]] == [1, None, 2]
+    assert "malformed JSON" in out_lines[2]["error"]
+    assert out_lines[3]["output"].endswith("renamed_depth.npy")
+
+
+def test_serve_stereo_pair(tmp_path):
+    cfg = configs.get("stereo_256x512_b4")
+    cfg = dataclasses.replace(
+        cfg,
+        stereo=dataclasses.replace(cfg.stereo, height=32, width=64, max_disp=32),
+    )
+    pred = api.load_weights(None, cfg, seed=0)
+    paths = _frames(tmp_path, 2)
+    reqs = [{"id": 0, "left": paths[0], "right": paths[1]},
+            {"id": 1, "left": paths[0]}]
+    resps = list(
+        serve_requests(pred, reqs, str(tmp_path / "out5"), artifacts="disp")
+    )
+    assert "error" not in resps[0]
+    assert os.path.exists(os.path.join(str(tmp_path / "out5"), "f0_disp.npy"))
+    assert "right" in resps[1]["error"]
