@@ -202,6 +202,7 @@ def cmd_train(args: argparse.Namespace) -> int:
             seed=args.seed,
             learning_rate=args.lr,
             warmup_steps=args.warmup_steps,
+            accum_steps=args.accum_steps,
         )
     else:
         from scenedepthestimation_tpu.data.kitti import KittiRawDataset
@@ -222,6 +223,7 @@ def cmd_train(args: argparse.Namespace) -> int:
                 seed=args.seed,
                 learning_rate=args.lr,
                 warmup_steps=args.warmup_steps,
+                accum_steps=args.accum_steps,
             )
         else:
             base = KittiRawDataset(
@@ -239,6 +241,7 @@ def cmd_train(args: argparse.Namespace) -> int:
                 seed=args.seed,
                 learning_rate=args.lr,
                 warmup_steps=args.warmup_steps,
+                accum_steps=args.accum_steps,
             )
 
     t0 = time.time()
@@ -452,6 +455,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="linear LR warmup steps (plain hyperparameter; measured NOT "
         "to rescue the high-LR soft-argmin collapse — use --refine or "
         "aux_ce_weight for that, BASELINE.md round 3)",
+    )
+    pt.add_argument(
+        "--accum-steps",
+        type=int,
+        default=1,
+        help="gradient accumulation: average grads over N micro-batches "
+        "and apply one optimizer update (optax.MultiSteps) — effective "
+        "batch = N x batch-size without the HBM cost",
     )
     pt.add_argument(
         "--augment",

@@ -84,13 +84,27 @@ def make_optimizer(
     decay_steps: int = 15_000,
     decay_rate: float = 0.1,
     warmup_steps: int = 0,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """Adam over :func:`make_lr_schedule`."""
-    return optax.adam(
+    """Adam over :func:`make_lr_schedule`.
+
+    ``accum_steps > 1`` wraps the optimizer in gradient accumulation
+    (optax.MultiSteps): every step's gradients are averaged and the
+    parameter update applies once per ``accum_steps`` micro-batches —
+    the standard way to train an effective batch that does not fit
+    per-chip HBM (e.g. config-5's 384x1152 shapes at large effective
+    batch). The wrapping composes with every step factory unchanged:
+    the accumulation buffer lives in ``opt_state`` and the whole thing
+    stays one jitted SPMD program per micro-step. BN running stats
+    update every micro-step (the family's DataParallel semantics)."""
+    tx = optax.adam(
         make_lr_schedule(
             learning_rate, scheduler, decay_steps, decay_rate, warmup_steps
         )
     )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def make_train_state(
@@ -98,6 +112,7 @@ def make_train_state(
     seed: int = 0,
     learning_rate: float = 1e-4,
     warmup_steps: int = 0,
+    accum_steps: int = 1,
 ) -> TrainState:
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     rng = jax.random.PRNGKey(seed)
@@ -109,7 +124,9 @@ def make_train_state(
         z = jnp.zeros((1, cfg.stereo.height, cfg.stereo.width, 3), dtype)
         dummy = (z, z)
     variables = model.init(rng, *dummy)
-    tx = make_optimizer(learning_rate, warmup_steps=warmup_steps)
+    tx = make_optimizer(
+        learning_rate, warmup_steps=warmup_steps, accum_steps=accum_steps
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -400,6 +417,7 @@ def make_temporal_train_state(
     seed: int = 0,
     learning_rate: float = 1e-4,
     warmup_steps: int = 0,
+    accum_steps: int = 1,
 ) -> TrainState:
     """Joint depth+pose state for temporal self-supervision (SURVEY
     §3.5 / C14): params = {'depth': ..., 'pose': ...}."""
@@ -417,7 +435,9 @@ def make_temporal_train_state(
         "depth": dvars.get("batch_stats", {}),
         "pose": pvars.get("batch_stats", {}),
     }
-    tx = make_optimizer(learning_rate, warmup_steps=warmup_steps)
+    tx = make_optimizer(
+        learning_rate, warmup_steps=warmup_steps, accum_steps=accum_steps
+    )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

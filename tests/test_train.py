@@ -179,3 +179,38 @@ def test_stereo_selfsup_step_with_augmentation():
     step = train.make_stereo_selfsup_train_step(TINY_STEREO, augment=True)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_gradient_accumulation_matches_plain_step():
+    """accum_steps=2 with the SAME micro-batch twice must (a) leave
+    params untouched after micro-step 1 and (b) land on exactly the
+    plain step's params after micro-step 2 (mean of identical grads is
+    the grad, so the MultiSteps-wrapped adam applies the same update)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.integers(0, 256, (2, 32, 64, 3), dtype=np.uint8),
+        "gt_disp": np.full((2, 32, 64, 1), 0.3, np.float32),
+    }
+    step = train.make_mono_train_step(TINY_MONO)
+
+    plain = train.make_train_state(TINY_MONO, seed=0, learning_rate=1e-3)
+    accum = train.make_train_state(
+        TINY_MONO, seed=0, learning_rate=1e-3, accum_steps=2
+    )
+    chex_eq = lambda a, b: jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda x, y: np.allclose(np.asarray(x), np.asarray(y), atol=1e-6),
+            a, b,
+        )
+    )
+
+    p0 = jax.tree_util.tree_map(np.asarray, accum.params)
+    accum, _ = step(accum, batch)       # micro-step 1: no update yet
+    assert chex_eq(accum.params, p0)
+
+    accum, _ = step(accum, batch)       # micro-step 2: update applies
+    plain, _ = step(plain, batch)
+    assert chex_eq(accum.params, plain.params)
+    assert not chex_eq(accum.params, p0)
