@@ -17,6 +17,13 @@ Everything computes in NHWC (channels-last) layout — the TPU-friendly
 layout XLA tiles onto the MXU.
 """
 
+from scenedepthestimation_tpu.utils.compile_cache import maybe_enable_from_env as _cc
+
+# Opt-in persistent compilation cache (serving cold-start): honored
+# before any program can be built. No-op unless SCENEDEPTH_COMPILE_CACHE
+# is set in the environment.
+_cc()
+
 from scenedepthestimation_tpu import configs
 from scenedepthestimation_tpu.api import (
     load_weights,

@@ -346,9 +346,25 @@ def cmd_bench(args: argparse.Namespace) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="scenedepth")
+    # Shared across every subcommand: persistent XLA compilation cache
+    # (serving cold-start; utils/compile_cache.py). ``--compile-cache``
+    # with no value selects the default cache directory.
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--compile-cache",
+        nargs="?",
+        const="",
+        default=None,
+        metavar="DIR",
+        help="persist compiled XLA programs to DIR (default "
+        "~/.cache/scenedepthestimation_tpu/xla) so process restarts "
+        "skip the 20-40s compile",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pp = sub.add_parser("predict", help="predict a depth map")
+    pp = sub.add_parser(
+        "predict",
+        parents=[common], help="predict a depth map")
     pp.add_argument("--config", default="mono_kitti_192x640_fp32")
     pp.add_argument("--num-layers", type=int, default=None, help="encoder depth: 18, 34 or 50")
     pp.add_argument("--weights", default=None, help="orbax dir or .pth file(s)")
@@ -364,7 +380,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--seed", type=int, default=0)
     pp.set_defaults(fn=cmd_predict)
 
-    pe = sub.add_parser("eval", help="run dataset evaluation")
+    pe = sub.add_parser(
+        "eval",
+        parents=[common], help="run dataset evaluation")
     pe.add_argument("--config", default="mono_eigen_eval")
     pe.add_argument("--num-layers", type=int, default=None, help="encoder depth: 18, 34 or 50")
     pe.add_argument("--weights", default=None)
@@ -384,7 +402,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pe.set_defaults(fn=cmd_eval)
 
-    pb = sub.add_parser("bench", help="throughput benchmark")
+    pb = sub.add_parser(
+        "bench",
+        parents=[common], help="throughput benchmark")
     pb.add_argument("--config", default="mono_kitti_384x1152_bench")
     pb.add_argument("--batch-size", type=int, default=None)
     pb.add_argument("--iters", type=int, default=32)
@@ -431,7 +451,9 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--seed", type=int, default=0)
     pf.set_defaults(fn=cmd_predict_batch)
 
-    pt = sub.add_parser("train", help="train a pipeline")
+    pt = sub.add_parser(
+        "train",
+        parents=[common], help="train a pipeline")
     pt.add_argument(
         "--mode",
         default="stereo-supervised",
@@ -501,7 +523,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.set_defaults(fn=cmd_train)
 
     px = sub.add_parser(
-        "export", help="serialize a serving artifact (StableHLO, weights baked)"
+        "export",
+        parents=[common], help="serialize a serving artifact (StableHLO, weights baked)"
     )
     px.add_argument("--config", default="mono_kitti_192x640_fp32")
     px.add_argument("--num-layers", type=int, default=None, help="encoder depth: 18, 34 or 50")
@@ -517,6 +540,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     ps = sub.add_parser(
         "serve",
+        parents=[common],
         help="streaming JSONL inference server on stdin/stdout "
         "(pipelined dispatch, see docs/SERVING.md)",
     )
@@ -571,6 +595,12 @@ def _resolve_config(name_or_cfg, args=None):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "compile_cache", None) is not None:
+        from scenedepthestimation_tpu.utils.compile_cache import (
+            enable_compile_cache,
+        )
+
+        enable_compile_cache(args.compile_cache or None)
     try:
         return args.fn(args)
     except (CliError, FileNotFoundError) as e:
