@@ -177,6 +177,43 @@ def set_paired_pre(flag: bool) -> None:
     _PAIRED_PRE = flag
 
 
+# How the interleaved (2B, h4, w4, C) tower output is split back into
+# (f_l, f_r). The round-3 loop trace (bench/trace_stereo_loop.py) showed
+# the reshape+index form costing 2.56 ms/iter at config-5 b16 — 15% of
+# the iteration — in a rank-5 split fusion plus three relayout copies.
+# Variants (all exact; shard-local under batch DP):
+#   "reshape": feats.reshape(b, 2, ...)[:, 0] / [:, 1]   (round-2 form)
+#   "strided": lax.slice with batch stride 2 (no rank-5 intermediate)
+# Measured e2e (bench/probe_pair_split.py, fori-amortized, iters
+# 256/64): b2 795.7 reshape vs 783.4 strided, b16 914.8 vs 916.0 —
+# a WASH: the split cluster's isolated trace cost is overlapped with
+# the async weight prefetches in the compiled loop. Default stays the
+# proven round-2 form.
+_PAIR_SPLIT: str = "reshape"
+
+
+def set_pair_split(mode: str) -> None:
+    assert mode in ("reshape", "strided"), mode
+    global _PAIR_SPLIT
+    _PAIR_SPLIT = mode
+
+
+def split_pair(feats: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(2B, ...) interleaved L/R stack → ((B, ...), (B, ...))."""
+    from jax import lax
+
+    if _PAIR_SPLIT == "strided":
+        strides = (2,) + (1,) * (feats.ndim - 1)
+        f_l = lax.slice(feats, (0,) * feats.ndim, feats.shape, strides)
+        f_r = lax.slice(
+            feats, (1,) + (0,) * (feats.ndim - 1), feats.shape, strides
+        )
+        return f_l, f_r
+    b = feats.shape[0] // 2
+    feats = feats.reshape(b, 2, *feats.shape[1:])
+    return feats[:, 0], feats[:, 1]
+
+
 def build_stereo_program(cfg: RunConfig, model: StereoNet):
     """Un-jitted end-to-end stereo program (SURVEY §3.2)."""
     net_hw = (cfg.stereo.height, cfg.stereo.width)
@@ -208,12 +245,10 @@ def build_stereo_program(cfg: RunConfig, model: StereoNet):
         )
 
         s = cfg.stereo
-        b = pair.shape[0] // 2
         feats = FeatureTower(
             channels=s.feat_channels, dtype=dtype, name="tower"
         ).apply({"params": variables["params"]["tower"]}, pair)
-        feats = feats.reshape(b, 2, *feats.shape[1:])
-        f_l, f_r = feats[:, 0], feats[:, 1]
+        f_l, f_r = split_pair(feats)
         cost = correlation1d(f_l, f_r, s.corr_disp)
         agg_in = jnp.concatenate([cost.astype(dtype), f_l], axis=-1)
         refined = collapsed_cost_aggregation(
