@@ -87,8 +87,31 @@ def cmd_eval(args: argparse.Namespace) -> int:
         max_items=args.max_items,
         seed=args.seed,
         sequence=args.seq,
+        gt=args.gt,
+        gt_root=args.gt_root,
     )
     print(json.dumps(metrics))
+    return 0
+
+
+def cmd_export_gt(args: argparse.Namespace) -> int:
+    """Precompute Eigen-split GT depth maps (family
+    export_gt_depths_kitti convention) → gt_depths.npz."""
+    import os
+
+    from scenedepthestimation_tpu.data.kitti import export_gt_depths
+
+    split_file = args.split_file or os.path.join(
+        args.data_root, "splits", "eigen", "test_files.txt"
+    )
+    n = export_gt_depths(
+        root=args.data_root,
+        split_file=split_file,
+        out_path=args.out,
+        gt=args.gt,
+        gt_root=args.gt_root,
+    )
+    print(json.dumps({"exported": n, "out": args.out}))
     return 0
 
 
@@ -400,7 +423,34 @@ def build_parser() -> argparse.ArgumentParser:
         default="09",
         help="KITTI odometry sequence for --split odom (pose ATE)",
     )
+    pe.add_argument(
+        "--gt",
+        default="velodyne",
+        choices=["velodyne", "improved", "npz"],
+        help="Eigen GT source: on-the-fly velodyne projection, improved "
+        "annotated PNGs, or a precomputed gt_depths.npz (export-gt)",
+    )
+    pe.add_argument(
+        "--gt-root",
+        default=None,
+        help="improved: GT tree root; npz: path to gt_depths.npz",
+    )
     pe.set_defaults(fn=cmd_eval)
+
+    pg = sub.add_parser(
+        "export-gt",
+        parents=[common],
+        help="precompute Eigen-split GT depth maps -> gt_depths.npz "
+        "(reference-family export_gt_depths_kitti)",
+    )
+    pg.add_argument("--data-root", required=True)
+    pg.add_argument("--split-file", default=None)
+    pg.add_argument("--out", required=True, help="output .npz path")
+    pg.add_argument(
+        "--gt", default="velodyne", choices=["velodyne", "improved"]
+    )
+    pg.add_argument("--gt-root", default=None, help="improved GT tree root")
+    pg.set_defaults(fn=cmd_export_gt)
 
     pb = sub.add_parser(
         "bench",

@@ -48,13 +48,25 @@ class KittiRawDataset:
 
     root: str
     split_file: str
-    gt: str = "velodyne"  # "velodyne" | "improved" | "none"
-    gt_root: Optional[str] = None  # for improved GT (defaults to root)
+    gt: str = "velodyne"  # "velodyne" | "improved" | "npz" | "none"
+    gt_root: Optional[str] = None  # improved: GT tree root; npz: .npz path
     load_pair: bool = False
     load_intrinsics: bool = False  # rig calib without the pair image
 
     def __post_init__(self):
         self.items = read_split_file(self.split_file)
+        if self.gt == "npz":
+            # Precomputed GT (scenedepth export-gt / the family's
+            # export_gt_depths_kitti.py): object array of per-frame
+            # float32 depth maps in split-file order.
+            if not self.gt_root:
+                raise ValueError("gt='npz' needs gt_root=<gt_depths.npz>")
+            self._npz_gt = np.load(self.gt_root, allow_pickle=True)["data"]
+            if len(self._npz_gt) != len(self.items):
+                raise ValueError(
+                    f"{self.gt_root}: {len(self._npz_gt)} GT maps for "
+                    f"{len(self.items)} split entries — wrong split?"
+                )
 
     def __len__(self) -> int:
         return len(self.items)
@@ -110,11 +122,59 @@ class KittiRawDataset:
                 f"{frame:010d}.png",
             )
             sample["gt_depth"] = io.load_depth_png16(path)
+        elif self.gt == "npz":
+            sample["gt_depth"] = np.asarray(self._npz_gt[idx], np.float32)
         return sample
 
     def __iter__(self) -> Iterator[dict]:
         for i in range(len(self)):
             yield self[i]
+
+
+def export_gt_depths(
+    root: str,
+    split_file: str,
+    out_path: str,
+    gt: str = "velodyne",
+    gt_root: Optional[str] = None,
+) -> int:
+    """Precompute per-frame GT depth maps for a split → ``out_path``
+    (.npz, key ``data`` = object array in split-file order).
+
+    The reference family's ``export_gt_depths_kitti.py`` convention:
+    eval then loads the precomputed maps (``gt='npz'``) instead of
+    re-projecting velodyne scans every run — the projection is ~all of
+    the eval's host time once predictions are device-resident. Returns
+    the number of frames exported.
+    """
+    ds = KittiRawDataset(
+        root=root, split_file=split_file, gt=gt, gt_root=gt_root
+    )
+    maps = []
+    for i in range(len(ds)):
+        # GT only — skip the image decode (export touches no pixels).
+        folder, frame, side = ds.items[i]
+        if gt == "velodyne":
+            date = folder.split("/")[0]
+            velo = os.path.join(
+                root, folder, "velodyne_points", "data", f"{frame:010d}.bin"
+            )
+            from PIL import Image
+
+            with Image.open(ds.image_path(i)) as im:
+                hw = (im.height, im.width)  # header read, no decode
+            maps.append(
+                io.velodyne_to_depth(
+                    velo, os.path.join(root, date), cam=_SIDE_CAM[side],
+                    image_hw=hw,
+                )
+            )
+        else:
+            maps.append(ds[i]["gt_depth"])
+    arr = np.empty(len(maps), dtype=object)
+    arr[:] = maps
+    np.savez_compressed(out_path, data=arr)
+    return len(maps)
 
 
 def batched(dataset, batch_size: int, pad_last: bool = True):

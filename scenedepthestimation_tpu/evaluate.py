@@ -288,8 +288,16 @@ def run_eval(
     batch_size: Optional[int] = None,
     seed: int = 0,
     sequence: str = "09",
+    gt: str = "velodyne",
+    gt_root: Optional[str] = None,
 ) -> Dict[str, float]:
-    """CLI entry (SURVEY §3.3): build dataset + predictor, evaluate."""
+    """CLI entry (SURVEY §3.3): build dataset + predictor, evaluate.
+
+    ``gt``/``gt_root`` select the Eigen-split GT source: on-the-fly
+    velodyne projection (default), the improved annotated-depth PNG
+    tree, or a precomputed ``gt_depths.npz`` from
+    ``scenedepth export-gt`` (family ``export_gt_depths_kitti``
+    convention)."""
     cfg = configs.get(config) if isinstance(config, str) else config
     if batch_size is not None:
         cfg = dataclasses.replace(cfg, batch_size=batch_size)
@@ -306,7 +314,7 @@ def run_eval(
         from scenedepthestimation_tpu.data.kitti import KittiRawDataset
 
         sf = split_file or os.path.join(data_root, "splits", "eigen", "test_files.txt")
-        ds = KittiRawDataset(root=data_root, split_file=sf, gt="velodyne")
+        ds = KittiRawDataset(root=data_root, split_file=sf, gt=gt, gt_root=gt_root)
         return eval_mono_dataset(
             predictor, ds, cfg.eval, "eigen", cfg.batch_size, max_items
         )

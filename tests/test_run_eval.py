@@ -67,6 +67,51 @@ def test_run_eval_eigen_wiring(tmp_path):
     assert np.isfinite(out["abs_rel"])
 
 
+def test_export_gt_roundtrip(tmp_path):
+    """export-gt then eval with gt='npz' reproduces the velodyne-mode
+    metrics exactly (same projection, precomputed)."""
+    from scenedepthestimation_tpu.data.kitti import (
+        KittiRawDataset,
+        export_gt_depths,
+    )
+
+    root = _make_tree(tmp_path)
+    sf = os.path.join(root, "splits", "eigen", "test_files.txt")
+    out = str(tmp_path / "gt_depths.npz")
+    n = export_gt_depths(root=root, split_file=sf, out_path=out)
+    assert n == 3
+
+    ds_velo = KittiRawDataset(root=root, split_file=sf, gt="velodyne")
+    ds_npz = KittiRawDataset(root=root, split_file=sf, gt="npz", gt_root=out)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            ds_velo[i]["gt_depth"], ds_npz[i]["gt_depth"]
+        )
+
+    m_velo = evaluate.run_eval(
+        config=TINY, data_root=root, split="eigen", max_items=3
+    )
+    m_npz = evaluate.run_eval(
+        config=TINY, data_root=root, split="eigen", max_items=3,
+        gt="npz", gt_root=out,
+    )
+    for k, v in m_velo.items():
+        assert m_npz[k] == pytest.approx(v, rel=1e-6), k
+
+
+def test_npz_gt_length_mismatch(tmp_path):
+    from scenedepthestimation_tpu.data.kitti import KittiRawDataset
+
+    root = _make_tree(tmp_path)
+    sf = os.path.join(root, "splits", "eigen", "test_files.txt")
+    arr = np.empty(2, dtype=object)  # 2 maps for a 3-entry split
+    arr[:] = [np.zeros((4, 4), np.float32)] * 2
+    bad = str(tmp_path / "bad.npz")
+    np.savez_compressed(bad, data=arr)
+    with pytest.raises(ValueError, match="wrong split"):
+        KittiRawDataset(root=root, split_file=sf, gt="npz", gt_root=bad)
+
+
 def test_run_eval_unknown_split(tmp_path):
     with pytest.raises(ValueError, match="unknown split"):
         evaluate.run_eval(config=TINY, data_root=str(tmp_path), split="wat")
