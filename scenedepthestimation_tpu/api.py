@@ -214,63 +214,86 @@ def split_pair(feats: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return feats[:, 0], feats[:, 1]
 
 
+def stereo_packed_supported(scfg) -> bool:
+    """Shape/flag gate for the packed/collapsed stereo execution: the
+    /4-feature grid must divide by 8 (three stride-2 encoder levels +
+    even dims at every collapsed decoder level)."""
+    return (
+        scfg.packed_agg
+        and (scfg.height // scfg.feat_stride) % 8 == 0
+        and (scfg.width // scfg.feat_stride) % 8 == 0
+    )
+
+
+def stereo_packed_pair_forward(
+    params, pair: jnp.ndarray, scfg, dtype, return_cost: bool = False
+):
+    """Packed-agg stereo forward from the INTERLEAVED (2B, h, w, c)
+    preprocessed pair → full-res disparity (B, h, w) px.
+
+    Exact rewrite of StereoNet.__call__ (sans the training-only aux
+    cost heads) built from pure differentiable lax ops — shared by the
+    inference program and, with ``StereoConfig.collapsed_train``, the
+    train steps (gradients match the module path to reassociation
+    error; tests/test_collapsed_train.py). ``return_cost`` appends the
+    refined (B, h/4, w/4, D) cost logits for the aux CE loss.
+    """
+    from scenedepthestimation_tpu.models.stereo import FeatureTower
+    from scenedepthestimation_tpu.ops.collapsed import (
+        collapsed_cost_aggregation,
+        refinement_forward,
+    )
+    from scenedepthestimation_tpu.ops.correlation import correlation1d
+    from scenedepthestimation_tpu.ops.soft_argmin import soft_argmin
+    from scenedepthestimation_tpu.ops.upsample import (
+        upsample4x_bilinear_packed,
+    )
+
+    feats = FeatureTower(
+        channels=scfg.feat_channels, dtype=dtype, name="tower"
+    ).apply({"params": params["tower"]}, pair)
+    f_l, f_r = split_pair(feats)
+    cost = correlation1d(f_l, f_r, scfg.corr_disp)
+    agg_in = jnp.concatenate([cost.astype(dtype), f_l], axis=-1)
+    refined = collapsed_cost_aggregation(
+        params["aggregation"], agg_in, dtype=dtype
+    )
+    q = soft_argmin(
+        refined.astype(jnp.float32),
+        temperature=scfg.softargmin_temperature,
+    ) * float(scfg.feat_stride)
+    if scfg.refine:
+        q = refinement_forward(
+            params["refinement"],
+            f_l,
+            q,
+            float(scfg.corr_disp * scfg.feat_stride),
+            dtype=dtype,
+        )
+    disp = upsample4x_bilinear_packed(q[..., None])[..., 0]
+    if return_cost:
+        return disp, refined
+    return disp
+
+
 def build_stereo_program(cfg: RunConfig, model: StereoNet):
     """Un-jitted end-to-end stereo program (SURVEY §3.2)."""
     net_hw = (cfg.stereo.height, cfg.stereo.width)
     dtype = _compute_dtype(cfg)
     # Collapsed/packed aggregation (ops/collapsed.py): exact inference
-    # rewrite; needs the /4-feature grid divisible by 8 (three stride-2
-    # encoder levels + even dims at every collapsed decoder level).
-    # Refine checkpoints ride it too (VERDICT r2 next-#2): the aux cost
-    # heads are training-only, and the Refinement module runs as the
+    # rewrite (shape gate in stereo_packed_supported). Refine
+    # checkpoints ride it too (VERDICT r2 next-#2): the aux cost heads
+    # are training-only, and the Refinement module runs as the
     # functional ops/collapsed.refinement_forward after the readout.
-    use_packed_agg = (
-        cfg.stereo.packed_agg
-        and (cfg.stereo.height // cfg.stereo.feat_stride) % 8 == 0
-        and (cfg.stereo.width // cfg.stereo.feat_stride) % 8 == 0
-    )
+    use_packed_agg = stereo_packed_supported(cfg.stereo)
 
     def forward_pair(variables, pair):
         """Packed-agg forward from the INTERLEAVED (2B, h, w, c) pair —
         the tower consumes the preprocessed stack directly, no
         unstack/restack round trip between preprocess and tower."""
-        from scenedepthestimation_tpu.models.stereo import FeatureTower
-        from scenedepthestimation_tpu.ops.collapsed import (
-            collapsed_cost_aggregation,
+        return stereo_packed_pair_forward(
+            variables["params"], pair, cfg.stereo, dtype
         )
-        from scenedepthestimation_tpu.ops.correlation import correlation1d
-        from scenedepthestimation_tpu.ops.soft_argmin import soft_argmin
-        from scenedepthestimation_tpu.ops.upsample import (
-            upsample4x_bilinear_packed,
-        )
-
-        s = cfg.stereo
-        feats = FeatureTower(
-            channels=s.feat_channels, dtype=dtype, name="tower"
-        ).apply({"params": variables["params"]["tower"]}, pair)
-        f_l, f_r = split_pair(feats)
-        cost = correlation1d(f_l, f_r, s.corr_disp)
-        agg_in = jnp.concatenate([cost.astype(dtype), f_l], axis=-1)
-        refined = collapsed_cost_aggregation(
-            variables["params"]["aggregation"], agg_in, dtype=dtype
-        )
-        q = soft_argmin(
-            refined.astype(jnp.float32),
-            temperature=s.softargmin_temperature,
-        ) * float(s.feat_stride)
-        if s.refine:
-            from scenedepthestimation_tpu.ops.collapsed import (
-                refinement_forward,
-            )
-
-            q = refinement_forward(
-                variables["params"]["refinement"],
-                f_l,
-                q,
-                float(s.corr_disp * s.feat_stride),
-                dtype=dtype,
-            )
-        return upsample4x_bilinear_packed(q[..., None])[..., 0]
 
     def forward(variables, xl, xr):
         if not use_packed_agg:

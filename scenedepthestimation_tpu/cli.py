@@ -351,6 +351,14 @@ def cmd_bench(args: argparse.Namespace) -> int:
     if getattr(args, "stream", False):
         print(json.dumps(benchmark.run_stream_bench(depth=args.stream_depth)))
         return 0
+    if getattr(args, "memory", False):
+        result = benchmark.run_memory_report(
+            config=_resolve_config(args.config, args),
+            batch_size=args.batch_size,
+            train_mode=args.train,
+        )
+        print(json.dumps(result))
+        return 0
     if getattr(args, "train", None):
         result = benchmark.run_train_bench(
             config=_resolve_config(args.config, args),
@@ -480,6 +488,12 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=3,
         help="frames in flight for --stream pipelining",
+    )
+    pb.add_argument(
+        "--memory",
+        action="store_true",
+        help="static HBM footprint of the compiled program (peak, args, "
+        "temps) instead of timing; combine with --train for a train step",
     )
     pb.set_defaults(fn=cmd_bench)
 

@@ -129,6 +129,18 @@ class StereoConfig:
     # (+108%); neutral at b64 (1000 vs 1040) where large batch already
     # amortizes the module path's overheads.
     packed_agg: bool = True
+    # Run the packed/collapsed forward inside the TRAIN steps too (the
+    # rewrite is pure differentiable lax ops, so gradients match the
+    # module path to reassociation error —
+    # tests/test_collapsed_train.py::test_stereo_* pin forward, grads,
+    # and an Adam step). Engages when packed_agg's shape conditions
+    # hold and refine is off (aux cost heads need the module decoder).
+    # Default OFF by measurement (bench/probe_stereo_train_collapsed.py,
+    # fori-amortized): supervised 256x512 b16 369.6 -> 373.9, selfsup
+    # 312.2 -> 320.6, config-5-shape b8 bf16 297.3 -> 294.7 fps/chip —
+    # a wash; unlike inference (+108% at b16), the train step's backward
+    # through the packed layouts gives back what the forward saves.
+    collapsed_train: bool = False
 
     @property
     def corr_disp(self) -> int:

@@ -268,6 +268,32 @@ def _augment_stereo_batch(batch, net_hw, crop):
     return {**batch, **aug}
 
 
+def _stereo_collapsed_train(cfg: RunConfig) -> bool:
+    """Gate for running the packed/collapsed stereo forward inside the
+    train steps (StereoConfig.collapsed_train): shapes must admit the
+    collapse, and refine must be off — its intermediate-scale aux cost
+    heads read the module decoder's internals."""
+    from scenedepthestimation_tpu.api import stereo_packed_supported
+
+    return (
+        cfg.stereo.collapsed_train
+        and stereo_packed_supported(cfg.stereo)
+        and not cfg.stereo.refine
+    )
+
+
+def _stereo_packed_apply(params, xl, xr, scfg, dtype, return_cost=False):
+    """Interleave + packed forward (exact rewrite, differentiable) —
+    the train-side entry to api.stereo_packed_pair_forward."""
+    from scenedepthestimation_tpu.api import stereo_packed_pair_forward
+
+    b, h, w, c = xl.shape
+    pair = jnp.stack([xl, xr], axis=1).reshape(2 * b, h, w, c)
+    return stereo_packed_pair_forward(
+        params, pair, scfg, dtype, return_cost=return_cost
+    )
+
+
 def make_stereo_train_step(cfg: RunConfig, augment: bool = False, crop: bool = False):
     """Supervised stereo step: batch = {'left','right' uint8 BHW3,
     'gt_disp' float BHW px, 'valid' bool BHW}.
@@ -285,20 +311,26 @@ def make_stereo_train_step(cfg: RunConfig, augment: bool = False, crop: bool = F
     net_hw = (cfg.stereo.height, cfg.stereo.width)
 
     ce_w = cfg.stereo.aux_ce_weight
+    use_collapsed = _stereo_collapsed_train(cfg)
 
     def loss_fn(params, batch):
         if augment:
             batch = _augment_stereo_batch(batch, net_hw, crop)
         xl = preprocess(batch["left"], net_hw, cfg.pre, compute_dtype=dtype)
         xr = preprocess(batch["right"], net_hw, cfg.pre, compute_dtype=dtype)
-        model = StereoNet(cfg=cfg.stereo, dtype=dtype)
-        out = model.apply(
-            {"params": params},
-            xl,
-            xr,
-            return_aux=cfg.stereo.refine,
-            return_cost=ce_w > 0,
-        )
+        if use_collapsed:
+            out = _stereo_packed_apply(
+                params, xl, xr, cfg.stereo, dtype, return_cost=ce_w > 0
+            )
+        else:
+            model = StereoNet(cfg=cfg.stereo, dtype=dtype)
+            out = model.apply(
+                {"params": params},
+                xl,
+                xr,
+                return_aux=cfg.stereo.refine,
+                return_cost=ce_w > 0,
+            )
         out = out if isinstance(out, tuple) else (out,)
         disp, rest = out[0], list(out[1:])
         cost = rest.pop() if ce_w > 0 else None
@@ -342,14 +374,19 @@ def make_stereo_selfsup_train_step(
     reconstruction objective stays un-corrupted."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     net_hw = (cfg.stereo.height, cfg.stereo.width)
+    use_collapsed = _stereo_collapsed_train(cfg)
 
     def loss_fn(params, batch):
         if augment:
             batch = _augment_stereo_batch(batch, net_hw, crop)
         xl = preprocess(batch["left"], net_hw, cfg.pre, compute_dtype=dtype)
         xr = preprocess(batch["right"], net_hw, cfg.pre, compute_dtype=dtype)
-        model = StereoNet(cfg=cfg.stereo, dtype=dtype)
-        disp = model.apply({"params": params}, xl, xr).astype(jnp.float32)
+        if use_collapsed:
+            disp = _stereo_packed_apply(params, xl, xr, cfg.stereo, dtype)
+            disp = disp.astype(jnp.float32)
+        else:
+            model = StereoNet(cfg=cfg.stereo, dtype=dtype)
+            disp = model.apply({"params": params}, xl, xr).astype(jnp.float32)
         # Photometric target in [0,1] intensity space (pre-jitter views
         # when augmenting).
         l01 = _to01_at(batch.get("left_clean", batch["left"]), net_hw)

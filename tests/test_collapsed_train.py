@@ -107,3 +107,99 @@ def test_collapsed_selfsup_step_runs_and_is_finite():
     step = train.make_mono_selfsup_train_step(cfg)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# Stereo collapsed TRAIN (StereoConfig.collapsed_train): packed forward
+# inside the supervised/selfsup steps must match the module path in loss
+# AND post-step params.
+# ---------------------------------------------------------------------------
+
+from scenedepthestimation_tpu.configs import StereoConfig
+
+# /4 grid must divide by 8 -> 64x128 -> 16x32: ok.
+SCFG = RunConfig(
+    name="t_stereo", pipeline="stereo", batch_size=2,
+    stereo=StereoConfig(height=64, width=128, max_disp=32),
+)
+
+
+def _stereo_batch(rng):
+    return {
+        "left": rng.integers(0, 256, (2, 64, 128, 3), dtype=np.uint8),
+        "right": rng.integers(0, 256, (2, 64, 128, 3), dtype=np.uint8),
+        "gt_disp": rng.uniform(1.0, 30.0, (2, 64, 128)).astype(np.float32),
+        "valid": np.ones((2, 64, 128), bool),
+    }
+
+
+def _one_stereo_step(collapsed, batch, aux_ce=0.0, mode="supervised"):
+    cfg = dataclasses.replace(
+        SCFG,
+        stereo=dataclasses.replace(
+            SCFG.stereo, collapsed_train=collapsed, aux_ce_weight=aux_ce
+        ),
+    )
+    state = train.make_train_state(cfg, seed=0, learning_rate=1e-3)
+    if mode == "supervised":
+        step = train.make_stereo_train_step(cfg)
+    else:
+        step = train.make_stereo_selfsup_train_step(cfg)
+    state, m = step(state, batch)
+    return float(m["loss"]), state
+
+
+def _assert_step_parity(loss_std, st_std, loss_col, st_col):
+    assert np.isclose(loss_col, loss_std, atol=1e-4, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_col.params),
+        jax.tree_util.tree_leaves(st_std.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_stereo_collapsed_train_step_matches_standard():
+    batch = _stereo_batch(np.random.default_rng(6))
+    loss_std, st_std = _one_stereo_step(False, batch)
+    loss_col, st_col = _one_stereo_step(True, batch)
+    _assert_step_parity(loss_std, st_std, loss_col, st_col)
+
+
+def test_stereo_collapsed_train_step_with_aux_ce_matches():
+    """return_cost path: the packed forward's refined cost feeds the
+    disparity-classification auxiliary loss identically."""
+    batch = _stereo_batch(np.random.default_rng(7))
+    loss_std, st_std = _one_stereo_step(False, batch, aux_ce=0.5)
+    loss_col, st_col = _one_stereo_step(True, batch, aux_ce=0.5)
+    assert loss_col > 0
+    _assert_step_parity(loss_std, st_std, loss_col, st_col)
+
+
+def test_stereo_collapsed_selfsup_step_matches_standard():
+    rng = np.random.default_rng(8)
+    batch = {
+        "left": rng.integers(0, 256, (2, 64, 128, 3), dtype=np.uint8),
+        "right": rng.integers(0, 256, (2, 64, 128, 3), dtype=np.uint8),
+    }
+    loss_std, st_std = _one_stereo_step(False, batch, mode="selfsup")
+    loss_col, st_col = _one_stereo_step(True, batch, mode="selfsup")
+    _assert_step_parity(loss_std, st_std, loss_col, st_col)
+
+
+def test_stereo_collapsed_train_gated_off_with_refine():
+    """refine needs the module decoder's aux heads: the gate must keep
+    the collapsed path off (and the step must still run)."""
+    cfg = dataclasses.replace(
+        SCFG,
+        stereo=dataclasses.replace(
+            SCFG.stereo, collapsed_train=True, refine=True
+        ),
+    )
+    assert not train._stereo_collapsed_train(cfg)
+    batch = _stereo_batch(np.random.default_rng(9))
+    state = train.make_train_state(cfg, seed=0)
+    step = train.make_stereo_train_step(cfg)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))

@@ -127,3 +127,26 @@ def test_mono_post_process_flip_averaging():
     np.testing.assert_allclose(
         tta_m["disp"], tta["disp"][:, ::-1], rtol=2e-4, atol=2e-5
     )
+
+
+def test_memory_report_tiny():
+    """Static HBM report (benchmark.run_memory_report) returns positive
+    sizes for both the serving program and a train step."""
+    from scenedepthestimation_tpu import benchmark
+
+    cfg = RunConfig(
+        name="tiny_memrep",
+        pipeline="mono",
+        batch_size=2,
+        mono=MonoConfig(height=64, width=128),
+    )
+    rep = benchmark.run_memory_report(cfg)
+    assert rep["unit"] == "MB"
+    assert rep["value"] > 0 and rep["argument_mb"] > 0
+    assert rep["batch_size"] == 2
+
+    rep_t = benchmark.run_memory_report(cfg, train_mode="supervised")
+    assert rep_t["value"] > 0
+    # Train step carries params + Adam moments + activations: peak must
+    # exceed the serving program's.
+    assert rep_t["value"] >= rep["value"]
