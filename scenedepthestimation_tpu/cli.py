@@ -61,17 +61,50 @@ def cmd_predict(args: argparse.Namespace) -> int:
 
     prefix = args.output or os.path.splitext(src)[0]
     _dump_depth(out["depth"], out["disp"], prefix)
-    print(
-        json.dumps(
-            {
-                "source": src,
-                "output_prefix": prefix,
-                "depth_min": float(out["depth"].min()),
-                "depth_max": float(out["depth"].max()),
-                "shape": list(out["depth"].shape),
-            }
+    result = {
+        "source": src,
+        "output_prefix": prefix,
+        "depth_min": float(out["depth"].min()),
+        "depth_max": float(out["depth"].max()),
+        "shape": list(out["depth"].shape),
+    }
+    if args.ply:
+        import numpy as np
+
+        from scenedepthestimation_tpu.utils.pointcloud import (
+            depth_to_pointcloud_ply,
         )
-    )
+
+        intr = None
+        if args.calib_dir:
+            from scenedepthestimation_tpu.data.io import kitti_intrinsics
+
+            k = kitti_intrinsics(args.calib_dir)
+            # Calib intrinsics are for the full rectified frame; rescale
+            # to the predicted depth's resolution (KITTI calib stores the
+            # rectified image size as S_rect, but the predict output is
+            # at SOURCE resolution, so scale by source/width ratios only
+            # if the user fed a resized crop — full frames need none).
+            intr = {
+                "fx": k["focal_px"],
+                "fy": k["fy_px"],
+                "cx": k["cx_px"],
+                "cy": k["cy_px"],
+            }
+        depth = np.asarray(out["depth"])
+        img = _load_image(src)
+        if img.shape[:2] != depth.shape:
+            img = None  # source/depth res mismatch: write uncolored
+        n = depth_to_pointcloud_ply(
+            args.ply,
+            depth,
+            image=img,
+            intrinsics=intr,
+            max_depth=args.ply_max_depth,
+        )
+        result["ply"] = args.ply
+        result["ply_vertices"] = n
+    print(json.dumps(result))
     return 0
 
 
@@ -407,6 +440,25 @@ def build_parser() -> argparse.ArgumentParser:
         "--post-process",
         action="store_true",
         help="flip-averaging TTA (mono; doubles compute)",
+    )
+    pp.add_argument(
+        "--ply",
+        default=None,
+        metavar="PATH",
+        help="also export the back-projected colored point cloud as a "
+        "binary PLY (utils/pointcloud.py)",
+    )
+    pp.add_argument(
+        "--calib-dir",
+        default=None,
+        help="KITTI calib dir for real pinhole intrinsics in --ply "
+        "(default: monodepth2's normalized K scaled to the image)",
+    )
+    pp.add_argument(
+        "--ply-max-depth",
+        type=float,
+        default=80.0,
+        help="drop points beyond this depth in --ply (Eigen far cap)",
     )
     pp.add_argument("--seed", type=int, default=0)
     pp.set_defaults(fn=cmd_predict)

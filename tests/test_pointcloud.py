@@ -1,0 +1,134 @@
+"""Point-cloud export (utils/pointcloud.py): back-projection geometry,
+PLY format round-trip, and the predict CLI wiring (SURVEY §2 C19 dump
+surface)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from scenedepthestimation_tpu.utils.pointcloud import (
+    backproject_depth,
+    default_intrinsics,
+    depth_to_pointcloud_ply,
+    write_ply,
+)
+
+
+def test_backproject_geometry():
+    # Constant-depth plane: the principal-point pixel back-projects to
+    # (0, 0, Z); one pixel right of it moves X by Z/fx.
+    h, w, z = 8, 12, 5.0
+    fx, fy, cx, cy = 100.0, 50.0, 6.0, 4.0
+    pts = backproject_depth(np.full((h, w), z, np.float32), fx, fy, cx, cy)
+    assert pts.shape == (h, w, 3)
+    np.testing.assert_allclose(pts[4, 6], [0.0, 0.0, z], atol=1e-6)
+    np.testing.assert_allclose(pts[4, 7], [z / fx, 0.0, z], atol=1e-6)
+    np.testing.assert_allclose(pts[5, 6], [0.0, z / fy, z], atol=1e-6)
+    # Depth scales the ray linearly.
+    pts2 = backproject_depth(
+        np.full((h, w), 2 * z, np.float32), fx, fy, cx, cy
+    )
+    np.testing.assert_allclose(pts2[..., :2], 2 * pts[..., :2], atol=1e-5)
+
+
+def test_default_intrinsics_monodepth2_convention():
+    k = default_intrinsics(192, 640)
+    assert k["fx"] == pytest.approx(0.58 * 640)
+    assert k["fy"] == pytest.approx(1.92 * 192)
+    assert k["cx"] == pytest.approx(320.0)
+    assert k["cy"] == pytest.approx(96.0)
+
+
+def _read_ply_binary(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    head, _, body = data.partition(b"end_header\n")
+    lines = head.decode("ascii").splitlines()
+    assert lines[0] == "ply"
+    n = int(next(l for l in lines if l.startswith("element vertex")).split()[-1])
+    props = [l.split()[-1] for l in lines if l.startswith("property")]
+    return lines, props, n, body
+
+
+def test_write_ply_binary_roundtrip(tmp_path):
+    pts = np.arange(12, dtype=np.float32).reshape(4, 3)
+    col = np.arange(12, dtype=np.uint8).reshape(4, 3) * 10
+    path = str(tmp_path / "cloud.ply")
+    n = write_ply(path, pts, col)
+    assert n == 4
+    lines, props, n_hdr, body = _read_ply_binary(path)
+    assert "format binary_little_endian 1.0" in lines
+    assert props == ["x", "y", "z", "red", "green", "blue"]
+    assert n_hdr == 4 and len(body) == 4 * (12 + 3)
+    x0, y0, z0 = struct.unpack("<3f", body[:12])
+    np.testing.assert_allclose([x0, y0, z0], pts[0])
+    assert tuple(body[12:15]) == tuple(col[0])
+    # Last vertex survives the interleave.
+    off = 3 * 15
+    np.testing.assert_allclose(struct.unpack("<3f", body[off : off + 12]), pts[3])
+
+
+def test_write_ply_ascii(tmp_path):
+    path = str(tmp_path / "cloud_ascii.ply")
+    write_ply(path, np.ones((2, 3), np.float32), binary=False)
+    text = open(path, "rb").read().decode("ascii")
+    assert "format ascii 1.0" in text
+    assert text.strip().splitlines()[-1] == "1.000000 1.000000 1.000000"
+
+
+def test_depth_to_pointcloud_filters_and_colors(tmp_path):
+    h, w = 6, 8
+    depth = np.full((h, w), 10.0, np.float32)
+    depth[0, 0] = 0.0  # invalid
+    depth[0, 1] = 200.0  # beyond the far cap
+    depth[0, 2] = np.inf
+    img = np.full((h, w, 3), 128, np.uint8)
+    path = str(tmp_path / "d.ply")
+    n = depth_to_pointcloud_ply(path, depth, image=img, max_depth=80.0)
+    assert n == h * w - 3
+    _, props, n_hdr, body = _read_ply_binary(path)
+    assert n_hdr == n and "red" in props
+
+
+def test_cli_predict_ply(tmp_path, monkeypatch):
+    """End-to-end: `scenedepth predict --ply` on a tiny random-weight
+    mono config writes a loadable colored PLY next to the depth dump."""
+    from PIL import Image
+
+    from scenedepthestimation_tpu import configs
+    from scenedepthestimation_tpu.cli import main
+    from scenedepthestimation_tpu.configs import MonoConfig, RunConfig
+
+    tiny = RunConfig(
+        name="mono_tiny_test",
+        pipeline="mono",
+        mono=MonoConfig(height=64, width=128),
+    )
+    monkeypatch.setitem(configs.PRESETS, tiny.name, tiny)
+
+    img_path = str(tmp_path / "frame.png")
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 255, size=(64, 128, 3), dtype=np.uint8)
+    ).save(img_path)
+    ply_path = str(tmp_path / "frame.ply")
+    rc = main(
+        [
+            "predict",
+            "--config",
+            "mono_tiny_test",
+            "--image",
+            img_path,
+            "--output",
+            str(tmp_path / "out"),
+            "--ply",
+            ply_path,
+        ]
+    )
+    assert rc == 0
+    _, props, n_hdr, body = _read_ply_binary(ply_path)
+    # Random-weight depth is finite and positive; most points survive
+    # the 80 m cap, and the source PNG colors ride along.
+    assert n_hdr > 0 and props[:3] == ["x", "y", "z"] and "red" in props
+    assert len(body) == n_hdr * 15
