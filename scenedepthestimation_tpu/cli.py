@@ -104,6 +104,18 @@ def cmd_predict(args: argparse.Namespace) -> int:
         )
         result["ply"] = args.ply
         result["ply_vertices"] = n
+    if args.normals:
+        import numpy as np
+        from PIL import Image
+
+        from scenedepthestimation_tpu.utils.pointcloud import (
+            normals_from_depth,
+            normals_to_rgb,
+        )
+
+        nrm = normals_from_depth(np.asarray(out["depth"]))
+        Image.fromarray(normals_to_rgb(nrm)).save(args.normals)
+        result["normals"] = args.normals
     print(json.dumps(result))
     return 0
 
@@ -459,6 +471,13 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=80.0,
         help="drop points beyond this depth in --ply (Eigen far cap)",
+    )
+    pp.add_argument(
+        "--normals",
+        default=None,
+        metavar="PATH",
+        help="also save the RGB-mapped surface-normal map PNG "
+        "(utils/pointcloud.normals_from_depth)",
     )
     pp.add_argument("--seed", type=int, default=0)
     pp.set_defaults(fn=cmd_predict)

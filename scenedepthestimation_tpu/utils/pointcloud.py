@@ -25,6 +25,8 @@ __all__ = [
     "backproject_depth",
     "write_ply",
     "depth_to_pointcloud_ply",
+    "normals_from_depth",
+    "normals_to_rgb",
 ]
 
 
@@ -112,6 +114,36 @@ def write_ply(
                     line += " %d %d %d" % tuple(int(c) for c in col[i])
                 f.write((line + "\n").encode("ascii"))
     return n
+
+
+def normals_from_depth(
+    depth: np.ndarray,
+    intrinsics: Optional[Dict[str, float]] = None,
+) -> np.ndarray:
+    """Per-pixel unit surface normals from an (H, W) metric depth map:
+    central-difference tangents of the back-projected point map, crossed
+    and oriented toward the camera (n·p < 0 — a visible surface faces
+    the origin). Returns (H, W, 3) float32; edge rows/cols reuse their
+    neighbors' one-sided differences (np.gradient)."""
+    depth = np.asarray(depth, dtype=np.float32)
+    h, w = depth.shape
+    intr = intrinsics or default_intrinsics(h, w)
+    pts = backproject_depth(depth, intr["fx"], intr["fy"], intr["cx"], intr["cy"])
+    # Tangents along image axes: d(points)/du (axis 1) and /dv (axis 0).
+    tv, tu = np.gradient(pts, axis=(0, 1))
+    n = np.cross(tu, tv)
+    # Orient toward the camera, then normalize (guard flat/zero cells).
+    flip = np.sign(np.sum(n * pts, axis=-1, keepdims=True))
+    n = -n * np.where(flip == 0.0, 1.0, flip)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+def normals_to_rgb(normals: np.ndarray) -> np.ndarray:
+    """Map unit normals [-1, 1] to the conventional RGB visualization
+    (0.5·n + 0.5 per channel) as (H, W, 3) uint8."""
+    vis = np.clip(np.asarray(normals) * 0.5 + 0.5, 0.0, 1.0)
+    return (vis * 255.0 + 0.5).astype(np.uint8)
 
 
 def depth_to_pointcloud_ply(

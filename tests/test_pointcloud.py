@@ -11,6 +11,8 @@ from scenedepthestimation_tpu.utils.pointcloud import (
     backproject_depth,
     default_intrinsics,
     depth_to_pointcloud_ply,
+    normals_from_depth,
+    normals_to_rgb,
     write_ply,
 )
 
@@ -91,6 +93,39 @@ def test_depth_to_pointcloud_filters_and_colors(tmp_path):
     assert n_hdr == n and "red" in props
 
 
+def test_normals_frontoparallel_plane():
+    # Constant depth: every normal faces the camera, (0, 0, -1).
+    intr = {"fx": 100.0, "fy": 100.0, "cx": 8.0, "cy": 6.0}
+    n = normals_from_depth(np.full((12, 16), 7.0, np.float32), intr)
+    assert n.shape == (12, 16, 3)
+    np.testing.assert_allclose(n, np.broadcast_to([0, 0, -1.0], n.shape), atol=1e-5)
+
+
+def test_normals_tilted_plane():
+    # Plane z = z0 + k·X in camera coords ⇒ depth z(u) = z0/(1 − k(u−cx)/fx);
+    # analytic unit normal oriented toward the camera: (k, 0, −1)/√(1+k²).
+    h, w = 12, 16
+    intr = {"fx": 200.0, "fy": 200.0, "cx": w / 2.0, "cy": h / 2.0}
+    k, z0 = 0.3, 5.0
+    u = np.arange(w, dtype=np.float32)[None, :]
+    depth = np.broadcast_to(
+        z0 / (1.0 - k * (u - intr["cx"]) / intr["fx"]), (h, w)
+    ).astype(np.float32)
+    n = normals_from_depth(depth, intr)
+    expected = np.array([k, 0.0, -1.0]) / np.sqrt(1 + k * k)
+    # Interior only: np.gradient's one-sided edges are exact for this
+    # plane too, but keep the assertion on the central-difference region.
+    np.testing.assert_allclose(
+        n[1:-1, 1:-1], np.broadcast_to(expected, n[1:-1, 1:-1].shape), atol=1e-3
+    )
+
+
+def test_normals_to_rgb_mapping():
+    rgb = normals_to_rgb(np.array([[[0.0, 0.0, -1.0]]], np.float32))
+    assert rgb.dtype == np.uint8
+    assert tuple(rgb[0, 0]) == (128, 128, 0)
+
+
 def test_cli_predict_ply(tmp_path, monkeypatch):
     """End-to-end: `scenedepth predict --ply` on a tiny random-weight
     mono config writes a loadable colored PLY next to the depth dump."""
@@ -113,6 +148,7 @@ def test_cli_predict_ply(tmp_path, monkeypatch):
         rng.integers(0, 255, size=(64, 128, 3), dtype=np.uint8)
     ).save(img_path)
     ply_path = str(tmp_path / "frame.ply")
+    normals_path = str(tmp_path / "frame_normals.png")
     rc = main(
         [
             "predict",
@@ -124,6 +160,8 @@ def test_cli_predict_ply(tmp_path, monkeypatch):
             str(tmp_path / "out"),
             "--ply",
             ply_path,
+            "--normals",
+            normals_path,
         ]
     )
     assert rc == 0
@@ -132,3 +170,5 @@ def test_cli_predict_ply(tmp_path, monkeypatch):
     # the 80 m cap, and the source PNG colors ride along.
     assert n_hdr > 0 and props[:3] == ["x", "y", "z"] and "red" in props
     assert len(body) == n_hdr * 15
+    with Image.open(normals_path) as im:
+        assert im.size == (128, 64) and im.mode == "RGB"
