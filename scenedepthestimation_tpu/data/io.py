@@ -160,10 +160,19 @@ def kitti_intrinsics(calib_dir: str, cam: int = 2) -> Dict[str, float]:
     fx = float(p2[0, 0])
     # Baseline between rectified cam2/cam3: b = -(tx3 - tx2)/fx.
     baseline = float((p2[0, 3] - p3[0, 3]) / fx)
-    return {
+    out = {
         "focal_px": float(p_cam[0, 0]),
         "fy_px": float(p_cam[1, 1]),
         "cx_px": float(p_cam[0, 2]),
         "cy_px": float(p_cam[1, 2]),
         "baseline_m": baseline,
     }
+    # Rectified image size (S_rect_0N: "width height") — the resolution
+    # the intrinsics above are expressed at. Callers predicting on a
+    # resized frame rescale fx,cx by out_w/width and fy,cy by
+    # out_h/height. Optional: some (synthetic) calib files omit it.
+    s_rect = cam2cam.get(f"S_rect_0{cam}")
+    if s_rect is not None and s_rect.size == 2:
+        out["width_px"] = float(s_rect[0])
+        out["height_px"] = float(s_rect[1])
+    return out

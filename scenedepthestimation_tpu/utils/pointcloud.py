@@ -78,7 +78,21 @@ def write_ply(
     n = pts.shape[0]
     has_color = colors is not None
     if has_color:
-        col = np.ascontiguousarray(colors, dtype=np.uint8).reshape(-1, 3)
+        col = np.asarray(colors)
+        if np.issubdtype(col.dtype, np.floating):
+            # Float RGB: [0,1] convention (scale), else assume 0-255
+            # floats (round). A raw uint8 cast would truncate a [0,1]
+            # image to {0,1} — a near-black cloud instead of an error.
+            if col.size and float(np.nanmax(col)) <= 1.0:
+                col = col * 255.0
+            col = np.clip(np.round(col), 0, 255)
+        elif col.dtype != np.uint8:
+            if col.size and (col.min() < 0 or col.max() > 255):
+                raise ValueError(
+                    f"integer colors must be in [0, 255], got range "
+                    f"[{col.min()}, {col.max()}]"
+                )
+        col = np.ascontiguousarray(col, dtype=np.uint8).reshape(-1, 3)
         if col.shape[0] != n:
             raise ValueError(
                 f"colors ({col.shape[0]}) must match points ({n})"

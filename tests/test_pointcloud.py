@@ -172,3 +172,94 @@ def test_cli_predict_ply(tmp_path, monkeypatch):
     assert len(body) == n_hdr * 15
     with Image.open(normals_path) as im:
         assert im.size == (128, 64) and im.mode == "RGB"
+
+
+def test_write_ply_float_colors_scaled(tmp_path):
+    """ADVICE r3: a float [0,1] RGB image must scale to 0-255, not
+    truncate to {0,1} (near-black cloud)."""
+    pts = np.zeros((2, 3), np.float32)
+    col01 = np.array([[1.0, 0.5, 0.0], [0.25, 0.75, 1.0]], np.float32)
+    path = str(tmp_path / "f01.ply")
+    write_ply(path, pts, col01)
+    _, _, _, body = _read_ply_binary(path)
+    assert tuple(body[12:15]) == (255, 128, 0)
+    # 0-255 floats round instead of rescaling.
+    path2 = str(tmp_path / "f255.ply")
+    write_ply(path2, pts, col01 * 255.0)
+    _, _, _, body2 = _read_ply_binary(path2)
+    assert tuple(body2[12:15]) == (255, 128, 0)
+
+
+def test_write_ply_int_colors_range_checked(tmp_path):
+    pts = np.zeros((1, 3), np.float32)
+    with pytest.raises(ValueError, match=r"\[0, 255\]"):
+        write_ply(str(tmp_path / "bad.ply"), pts, np.array([[300, 0, 0]]))
+    # In-range non-uint8 ints cast cleanly.
+    write_ply(str(tmp_path / "ok.ply"), pts, np.array([[1, 2, 3]], np.int64))
+
+
+def test_cli_predict_ply_calib_rescale(tmp_path, monkeypatch, capsys):
+    """--calib-dir intrinsics rescale from the calib's S_rect resolution
+    to the predicted depth's resolution, and --normals shares them
+    (ADVICE r3 medium + low)."""
+    from PIL import Image
+
+    from scenedepthestimation_tpu import configs
+    from scenedepthestimation_tpu.cli import main
+    from scenedepthestimation_tpu.configs import MonoConfig, RunConfig
+
+    tiny = RunConfig(
+        name="mono_tiny_test2",
+        pipeline="mono",
+        mono=MonoConfig(height=64, width=128),
+    )
+    monkeypatch.setitem(configs.PRESETS, tiny.name, tiny)
+
+    calib = tmp_path / "calib"
+    calib.mkdir()
+    r = " ".join(map(str, np.eye(3).reshape(-1)))
+    (calib / "calib_cam_to_cam.txt").write_text(
+        "S_rect_02: 512 256\n"
+        f"R_rect_00: {r}\n"
+        "P_rect_02: 400.0 0 256 0 0 400.0 128 0 0 0 1 0\n"
+        "P_rect_03: 400.0 0 256 -216.0 0 400.0 128 0 0 0 1 0\n"
+    )
+    img_path = str(tmp_path / "frame.png")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (64, 128, 3), dtype=np.uint8)
+    ).save(img_path)
+    rc = main(
+        [
+            "predict", "--config", "mono_tiny_test2",
+            "--image", img_path,
+            "--output", str(tmp_path / "out"),
+            "--ply", str(tmp_path / "c.ply"),
+            "--normals", str(tmp_path / "n.png"),
+            "--calib-dir", str(calib),
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "rescaled from rectified 512x256 to depth 128x64" in err
+
+
+def test_kitti_intrinsics_s_rect(tmp_path):
+    from scenedepthestimation_tpu.data.io import kitti_intrinsics
+
+    r = " ".join(map(str, np.eye(3).reshape(-1)))
+    (tmp_path / "calib_cam_to_cam.txt").write_text(
+        "S_rect_02: 1242 375\n"
+        f"R_rect_00: {r}\n"
+        "P_rect_02: 721.5 0 609.6 44.9 0 721.5 172.9 0 0 0 1 0\n"
+        "P_rect_03: 721.5 0 609.6 -339.5 0 721.5 172.9 0 0 0 1 0\n"
+    )
+    k = kitti_intrinsics(str(tmp_path))
+    assert k["width_px"] == 1242.0 and k["height_px"] == 375.0
+    # Calibs without S_rect simply omit the keys (synthetic-test calibs).
+    (tmp_path / "calib_cam_to_cam.txt").write_text(
+        f"R_rect_00: {r}\n"
+        "P_rect_02: 721.5 0 609.6 44.9 0 721.5 172.9 0 0 0 1 0\n"
+        "P_rect_03: 721.5 0 609.6 -339.5 0 721.5 172.9 0 0 0 1 0\n"
+    )
+    k2 = kitti_intrinsics(str(tmp_path))
+    assert "width_px" not in k2
