@@ -37,3 +37,26 @@ def depth_from_disparity(
 ) -> jnp.ndarray:
     """Stereo pinhole conversion: depth[m] = f[px] * B[m] / disp[px]."""
     return focal_px * baseline_m / jnp.maximum(disp_px, eps)
+
+
+def sigmoid_disp_from_depth(
+    depth, min_depth: float = 0.1, max_depth: float = 100.0, eps: float = 1e-6
+):
+    """Inverse of :func:`disp_to_depth`: metric depth → the network's
+    [0, 1] sigmoid-disparity units (supervised mono GT encoding,
+    train.make_mono_train_step's ``gt_disp`` contract).
+
+    Non-positive depth means INVALID and maps to exactly 0 (the loss
+    mask convention); valid depth is clamped into [min_depth, max_depth]
+    and floored at ``eps`` so a pixel AT max_depth stays distinguishable
+    from invalid. Works on NumPy arrays (host-side feed path) and jnp
+    arrays alike — pure ufunc arithmetic.
+    """
+    import numpy as np
+
+    xp = jnp if isinstance(depth, jnp.ndarray) else np
+    min_disp = 1.0 / max_depth
+    max_disp = 1.0 / min_depth
+    d = xp.clip(depth, min_depth, max_depth)
+    sig = (1.0 / d - min_disp) / (max_disp - min_disp)
+    return xp.where(depth > 0, xp.maximum(sig, eps), 0.0)

@@ -27,6 +27,28 @@ def save_variables(path: str, variables: Dict[str, Any]) -> None:
     ckptr.wait_until_finished()
 
 
+def save_pytree(path: str, tree: Any, force: bool = False) -> None:
+    """Write an arbitrary pytree (e.g. a full TrainState snapshot incl.
+    optax opt_state) with Orbax. ``force=True`` overwrites an existing
+    checkpoint directory (resumed runs re-save ``final``)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.device_get(tree), force=force)
+    ckptr.wait_until_finished()
+
+
+def restore_pytree(path: str, target: Any) -> Any:
+    """Restore a pytree saved by :func:`save_pytree` INTO the structure
+    of ``target`` — the target's container types (optax NamedTuples,
+    nested dicts) and leaf dtypes are preserved, which a target-less
+    restore cannot do (it returns plain nested dicts)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target)
+
+
 def load_orbax(path: str) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
 

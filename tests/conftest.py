@@ -26,3 +26,73 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()}, devices: {len(jax.devices())}"
+
+
+# ---------------------------------------------------------------------------
+# Quick subset (VERDICT r3 weak-#6): `pytest -m quick` runs a <5-min
+# smoke — representative coverage per subsystem, skipping the
+# big-compile cases that dominate the ~35-min full suite. Curated here
+# (not as per-test decorators) so the exclusion list lives in ONE place
+# with the timings that justify it.
+# ---------------------------------------------------------------------------
+
+# module -> excluded test names ("minus" mode: everything else is quick).
+_QUICK_MINUS = {
+    "test_train_feed.py": set(),
+    "test_metrics.py": set(),
+    "test_data.py": set(),
+    "test_upsample.py": set(),
+    "test_preprocess.py": set(),
+    "test_augment.py": set(),
+    "test_native_decode.py": set(),
+    "test_odometry.py": set(),
+    "test_edge_cases.py": set(),
+    "test_feed.py": {"test_predict_files_and_resume"},  # 21 s
+    "test_project.py": {
+        "test_temporal_train_step_runs_and_descends",  # 106 s
+        "test_temporal_loss_cfirst_matches_nhwc",  # 39 s
+        "test_posenet_shapes",  # 16 s
+    },
+    "test_pointcloud.py": {
+        "test_cli_predict_ply",  # predictor compile
+        "test_cli_predict_ply_calib_rescale",
+    },
+    "test_smoke.py": {
+        "test_memory_report_tiny",  # 65 s
+        "test_mono_post_process_flip_averaging",  # 23 s
+    },
+    "test_eval.py": {
+        "test_eval_mono_eigen_protocol",  # 45 s
+        "test_eval_stereo_epe_d1",  # 23 s
+    },
+}
+
+# module -> included test names ("only" mode: just these are quick).
+_QUICK_ONLY = {
+    "test_train.py": {
+        "test_ssim_identical_images_zero",
+        "test_ssim_different_images_positive",
+        "test_smooth_l1_matches_torch_convention",
+        "test_edge_aware_smoothness_flat_disp_zero",
+        "test_stereo_loss_ignores_invalid",
+    },
+    "test_checkpoint.py": {"test_load_rejects_unknown_path"},
+    "test_resume.py": {"test_find_train_state"},
+    "test_run_eval.py": {
+        "test_run_eval_unknown_split",
+        "test_npz_gt_length_mismatch",
+    },
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        mod = item.fspath.basename
+        name = item.name.split("[")[0]
+        if mod in _QUICK_MINUS:
+            if name not in _QUICK_MINUS[mod]:
+                item.add_marker(pytest.mark.quick)
+        elif mod in _QUICK_ONLY and name in _QUICK_ONLY[mod]:
+            item.add_marker(pytest.mark.quick)

@@ -99,11 +99,10 @@ def test_temporal_checkpoint_loadable_by_predict(tmp_path):
     """Temporal train saves must be predict-compatible (depth-only at
     path, pose alongside) — the joint {'depth','pose'} layout is not."""
     from scenedepthestimation_tpu import train
-    from scenedepthestimation_tpu.cli import _save_train_state
 
     state = train.make_temporal_train_state(TINY, seed=0)
     path = str(tmp_path / "tck")
-    _save_train_state(state, path)
+    train.save_predict_artifact(state, path)
     p = load_weights(path, TINY)
     out = predict_mono(p, np.zeros((64, 128, 3), np.uint8))
     assert out["depth"].shape == (64, 128)

@@ -149,3 +149,69 @@ def test_selfsup_batches_work_without_gt():
 
     b = next(train_feed.stereo_selfsup_batches(PairsOnly(), (32, 64), 2, epochs=1))
     assert set(b.keys()) == {"left", "right"}
+
+
+class _FakeMonoGT:
+    """Mimics KittiRawDataset with gt_depth (sparse metric depth)."""
+
+    def __init__(self, n=5, hw=(48, 96), with_gt=True):
+        self.n, self.hw, self.with_gt = n, hw, with_gt
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        s = {"image": rng.integers(0, 256, (*self.hw, 3), dtype=np.uint8)}
+        if self.with_gt:
+            depth = np.zeros(self.hw, np.float32)
+            ys = rng.integers(0, self.hw[0], 100)
+            xs = rng.integers(0, self.hw[1], 100)
+            depth[ys, xs] = rng.uniform(2.0, 60.0, 100)
+            s["gt_depth"] = depth
+        return s
+
+
+def test_sigmoid_disp_roundtrip():
+    """sigmoid_disp_from_depth inverts disp_to_depth exactly, invalid→0."""
+    from scenedepthestimation_tpu.ops.disp_to_depth import (
+        disp_to_depth,
+        sigmoid_disp_from_depth,
+    )
+
+    depth = np.array([0.0, 0.1, 1.0, 10.0, 100.0, 250.0], np.float32)
+    sig = sigmoid_disp_from_depth(depth, 0.1, 100.0)
+    assert sig[0] == 0.0  # invalid stays the mask value
+    assert sig[-2] > 0.0 and sig[-1] > 0.0  # at/beyond max stay valid
+    # Round trip through the forward conversion (valid, in-range depths).
+    import jax.numpy as jnp
+
+    _, back = disp_to_depth(jnp.asarray(sig[1:5]), 0.1, 100.0)
+    # rtol covers the eps floor at exactly max_depth (100 -> 99.9,
+    # the deliberate valid-vs-invalid separation).
+    np.testing.assert_allclose(
+        np.asarray(back), np.clip(depth[1:5], 0.1, 100.0), rtol=2e-3
+    )
+
+
+def test_mono_train_batches():
+    it = train_feed.mono_train_batches(
+        _FakeMonoGT(), (32, 64), batch_size=2, epochs=1
+    )
+    batches = list(it)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (2, 32, 64, 3) and b["image"].dtype == np.uint8
+    assert b["gt_disp"].shape == (2, 32, 64, 1)
+    gt = b["gt_disp"]
+    assert gt.dtype == np.float32
+    assert float(gt.min()) >= 0.0 and float(gt.max()) <= 1.0
+    assert (gt > 0).any() and (gt == 0).any()  # sparse GT survives the crop
+
+
+def test_mono_train_batches_requires_gt():
+    it = train_feed.mono_train_batches(
+        _FakeMonoGT(with_gt=False), (32, 64), batch_size=2, epochs=1
+    )
+    with pytest.raises(ValueError, match="needs GT depth"):
+        next(it)
