@@ -240,6 +240,18 @@ def set_use_cfirst(flag: bool | None) -> None:
     _USE_CFIRST = flag
 
 
+def _downsample_image_cf(img_cf: jnp.ndarray) -> jnp.ndarray:
+    """One 2x area downsample on (B, C, H, W) (strided slices + add —
+    same layout rationale as _avg_pool3_cf; exact same math as one
+    _downsample_image step)."""
+    h, w = img_cf.shape[2] // 2 * 2, img_cf.shape[3] // 2 * 2
+    x = img_cf[:, :, :h, :w]
+    return (
+        x[:, :, 0::2, 0::2] + x[:, :, 0::2, 1::2]
+        + x[:, :, 1::2, 0::2] + x[:, :, 1::2, 1::2]
+    ) * 0.25
+
+
 def _temporal_loss_cfirst(
     disps,
     target: jnp.ndarray,
@@ -250,13 +262,18 @@ def _temporal_loss_cfirst(
     min_depth: float,
     max_depth: float,
     smoothness_weight: float,
+    at_scale: bool = False,
 ) -> jnp.ndarray:
     """Channels-first body of mono_temporal_selfsup_loss. Differences
     from the NHWC body are layout-only: corner tables hoisted out of
     the scale loop (depth-independent), W-minor point math/lerps/SSIM,
     and NO jax.checkpoint — the residuals that OOM'd in NHWC (42x
     lane-padded corner/SSIM intermediates) are compact here, so the
-    backward reuses them instead of re-running the gathers."""
+    backward reuses them instead of re-running the gathers.
+
+    ``at_scale``: per-scale tables/identity errors are built from the
+    2x-area-downsampled pyramid instead of one full-res set (the
+    tables stay depth-independent, so still one build per resolution)."""
     from scenedepthestimation_tpu.ops.disp_to_depth import disp_to_depth
     from scenedepthestimation_tpu.ops.project import (
         pack4_table,
@@ -265,32 +282,70 @@ def _temporal_loss_cfirst(
     )
     from scenedepthestimation_tpu.ops.upsample import upsample2x_rank3
 
-    h, w = target.shape[1:3]
     target_cf = target.transpose(0, 3, 1, 2)
     src_cf = [jax.lax.stop_gradient(s).transpose(0, 3, 1, 2) for s in sources]
-    identity_errs = [
-        photometric_error_cf(s, target_cf) + 1e-5 for s in src_cf
-    ]
-    tables = [pack4_table(jax.lax.stop_gradient(s)) for s in sources]
+
+    scale_set = sorted(disps) if at_scale else [0]
+    tgt_pyr = {0: target_cf}
+    src_pyr = {0: src_cf}
+    for s in scale_set:
+        if s not in tgt_pyr:
+            prev = max(p for p in tgt_pyr if p < s)
+            t_, ss_ = tgt_pyr[prev], src_pyr[prev]
+            for _ in range(s - prev):
+                t_ = _downsample_image_cf(t_)
+                ss_ = [_downsample_image_cf(x) for x in ss_]
+            tgt_pyr[s], src_pyr[s] = t_, ss_
+    identity_errs = {
+        s: [photometric_error_cf(x, tgt_pyr[s]) + 1e-5 for x in src_pyr[s]]
+        for s in scale_set
+    }
+    # pack4_table wants NHWC input; transpose the (already downsampled)
+    # channels-first pyramid back per resolution (cheap: one per frame
+    # per resolution, outside the scale loop, depth-independent).
+    tables = {
+        s: [
+            pack4_table(x.transpose(0, 2, 3, 1))
+            for x in src_pyr[s]
+        ]
+        for s in scale_set
+    }
 
     total = 0.0
     for s, disp in sorted(disps.items()):
         d = disp.astype(jnp.float32)[..., 0]  # (B, h_s, w_s)
-        for _ in range(s):
-            d = upsample2x_rank3(d)
+        loss_s = s if at_scale else 0
+        if not at_scale:
+            for _ in range(s):
+                d = upsample2x_rank3(d)
         _, depth = disp_to_depth(d, min_depth, max_depth)
+        k_s, k_inv_s = _scale_k(k, k_inv, loss_s)
+        tgt_s = tgt_pyr[loss_s]
+        h_s, w_s = tgt_s.shape[2:]
 
         reproj_errs = []
-        for table, t_mat in zip(tables, t_mats):
-            x, y = reproject_coords(depth, k, k_inv, t_mat)
-            recon = sample_table_cfirst(table, x, y, h, w)
-            reproj_errs.append(photometric_error_cf(recon, target_cf))
-        all_errs = jnp.stack(reproj_errs + identity_errs, axis=0)
-        min_err = jnp.min(all_errs, axis=0)  # (B, H-2, W-2)
+        for table, t_mat in zip(tables[loss_s], t_mats):
+            x, y = reproject_coords(depth, k_s, k_inv_s, t_mat)
+            recon = sample_table_cfirst(table, x, y, h_s, w_s)
+            reproj_errs.append(photometric_error_cf(recon, tgt_s))
+        all_errs = jnp.stack(reproj_errs + identity_errs[loss_s], axis=0)
+        min_err = jnp.min(all_errs, axis=0)  # (B, H_s-2, W_s-2)
 
-        smooth = edge_aware_smoothness_cf(d, target_cf)
+        smooth = edge_aware_smoothness_cf(d, tgt_s)
         total = total + jnp.mean(min_err) + smoothness_weight * smooth / (2.0**s)
     return total / len(disps)
+
+
+def _scale_k(k: jnp.ndarray, k_inv: jnp.ndarray, s: int):
+    """Pinhole intrinsics for a 2^s-downsampled image (linear rescaling,
+    the monodepth-family convention): rows 0,1 of K shrink by 2^s;
+    equivalently columns 0,1 of K^-1 grow by 2^s (K_s^-1 = K^-1 S^-1)."""
+    if s == 0:
+        return k, k_inv
+    f = 1.0 / (2.0**s)
+    k_s = k.at[:, :2, :].multiply(f)
+    k_inv_s = k_inv.at[:, :, :2].multiply(2.0**s)
+    return k_s, k_inv_s
 
 
 def mono_temporal_selfsup_loss(
@@ -303,6 +358,7 @@ def mono_temporal_selfsup_loss(
     min_depth: float,
     max_depth: float,
     smoothness_weight: float = 1e-3,
+    at_scale: bool = False,
 ) -> jnp.ndarray:
     """monodepth2 temporal photometric loss (SURVEY C14): per scale,
     upsample disparity to full res, convert to depth, reproject every
@@ -314,6 +370,15 @@ def mono_temporal_selfsup_loss(
     disps: {scale: (B, h_s, w_s, 1) sigmoid}; target (B, H, W, 3) [0,1];
     sources: list of (B, H, W, 3); t_mats: list of (B, 4, 4).
 
+    ``at_scale=True`` switches the multi-scale protocol from
+    monodepth2's upsample-to-full-res to the monodepth-v1 convention:
+    each scale's reprojection runs at its NATIVE resolution against
+    2x-area-downsampled frames with linearly rescaled intrinsics. The
+    gather/SSIM cost of scales 1..3 drops 4x/16x/64x (sum 4 -> ~1.33
+    full-res-equivalents); the measured fps and quality trade is in
+    BASELINE.md (round 4). Default off — the full-res protocol is the
+    reference-parity form.
+
     Two numerically-matching bodies: channels-first (TPU default — see
     _temporal_loss_cfirst) and the NHWC form below (CPU/GPU, and the
     parity reference for tests).
@@ -324,26 +389,42 @@ def mono_temporal_selfsup_loss(
     if use_cf:
         return _temporal_loss_cfirst(
             disps, target, sources, t_mats, k, k_inv,
-            min_depth, max_depth, smoothness_weight,
+            min_depth, max_depth, smoothness_weight, at_scale,
         )
 
     from scenedepthestimation_tpu.ops.disp_to_depth import disp_to_depth
     from scenedepthestimation_tpu.ops.project import reproject_sample
     from scenedepthestimation_tpu.ops.upsample import upsample2x
 
-    # Identity errors (computed once — scale-independent): the automask
+    # Identity errors (computed once per resolution): the automask
     # term. Tiny epsilon breaks ties in favour of reprojection (the
     # lineage adds randn*1e-5; a constant keeps the loss deterministic).
-    identity_errs = [
-        photometric_error(src, target) + 1e-5 for src in sources
-    ]
+    scale_set = sorted(disps) if at_scale else [0]
+    tgt_pyr = {0: target}
+    src_pyr = {0: list(sources)}
+    for s in scale_set:
+        if s not in tgt_pyr:
+            prev = max(p for p in tgt_pyr if p < s)
+            t_, ss_ = tgt_pyr[prev], src_pyr[prev]
+            for _ in range(s - prev):
+                t_ = _downsample_image(t_, 1)
+                ss_ = [_downsample_image(x, 1) for x in ss_]
+            tgt_pyr[s], src_pyr[s] = t_, ss_
+    identity_errs = {
+        s: [photometric_error(src, tgt_pyr[s]) + 1e-5 for src in src_pyr[s]]
+        for s in scale_set
+    }
 
     total = 0.0
     for s, disp in sorted(disps.items()):
         d = disp.astype(jnp.float32)
-        for _ in range(s):
-            d = upsample2x(d, mode="bilinear")
+        loss_s = s if at_scale else 0
+        if not at_scale:
+            for _ in range(s):
+                d = upsample2x(d, mode="bilinear")
         _, depth = disp_to_depth(d[..., 0], min_depth, max_depth)
+        k_s, k_inv_s = _scale_k(k, k_inv, loss_s)
+        tgt_s = tgt_pyr[loss_s]
 
         # Each reprojection's residuals (4 bilinear corners + SSIM
         # windows, all C=3-minor arrays that XLA lane-pads ~21x) are
@@ -354,19 +435,19 @@ def mono_temporal_selfsup_loss(
         # full-step: 622 ms NHWC+ckpt vs 491 ms cfirst, real harness).
         def reproj_err(depth_, src, t_mat):
             recon, _ = reproject_sample(
-                jax.lax.stop_gradient(src), depth_, k, k_inv, t_mat
+                jax.lax.stop_gradient(src), depth_, k_s, k_inv_s, t_mat
             )
-            return photometric_error(recon, target)
+            return photometric_error(recon, tgt_s)
 
         reproj_err = jax.checkpoint(reproj_err, static_argnums=())
         reproj_errs = [
             reproj_err(depth, src, t_mat)
-            for src, t_mat in zip(sources, t_mats)
+            for src, t_mat in zip(src_pyr[loss_s], t_mats)
         ]
-        all_errs = jnp.stack(reproj_errs + identity_errs, axis=0)
-        min_err = jnp.min(all_errs, axis=0)  # (B, H-2, W-2)
+        all_errs = jnp.stack(reproj_errs + identity_errs[loss_s], axis=0)
+        min_err = jnp.min(all_errs, axis=0)  # (B, H_s-2, W_s-2)
 
-        smooth = edge_aware_smoothness(d, target)
+        smooth = edge_aware_smoothness(d, tgt_s)
         total = total + jnp.mean(min_err) + smoothness_weight * smooth / (2.0**s)
     return total / len(disps)
 

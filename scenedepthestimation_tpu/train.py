@@ -554,6 +554,7 @@ def make_mono_temporal_train_step(cfg: RunConfig):
             k_inv,
             cfg.mono.min_depth,
             cfg.mono.max_depth,
+            at_scale=cfg.mono.temporal_at_scale,
         )
         return loss, {"depth": depth_stats, "pose": pose_stats}
 

@@ -226,3 +226,92 @@ def test_temporal_train_step_runs_and_descends():
         state, m = step(state, batch)
     assert float(m["loss"]) <= anchor * 1.05  # descends or holds (automask floor)
     assert int(state.step) == 9
+
+
+def test_temporal_loss_at_scale_parity_and_cost_shape():
+    """at_scale protocol (monodepth-v1): the cfirst and NHWC bodies
+    agree in value and gradients, and the value differs from the
+    full-res protocol (it is a different objective, not a rewrite)."""
+    from scenedepthestimation_tpu import losses
+
+    rng = np.random.default_rng(13)
+    b, h, w = 2, 16, 32
+    target = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+    sources = [
+        jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+        for _ in range(2)
+    ]
+    disps = {
+        s: jnp.asarray(
+            rng.uniform(0.1, 0.9, (b, h >> s, w >> s, 1)).astype(np.float32)
+        )
+        for s in range(3)
+    }
+    k = jnp.broadcast_to(
+        jnp.asarray([[20.0, 0, 16], [0, 20.0, 8], [0, 0, 1]]), (b, 3, 3)
+    )
+    k_inv = jnp.linalg.inv(k)
+    aa = jnp.asarray(rng.normal(0, 0.02, (b, 2, 3)).astype(np.float32))
+    tr = jnp.asarray(rng.normal(0, 0.05, (b, 2, 3)).astype(np.float32))
+
+    def loss_of(disps_, aa_, tr_, at_scale):
+        t_mats = [
+            project.pose_vec_to_mat(aa_[:, 0], tr_[:, 0], invert=True),
+            project.pose_vec_to_mat(aa_[:, 1], tr_[:, 1]),
+        ]
+        return losses.mono_temporal_selfsup_loss(
+            disps_, target, sources, t_mats, k, k_inv, 0.1, 100.0,
+            at_scale=at_scale,
+        )
+
+    try:
+        losses.set_use_cfirst(True)
+        v_cf, g_cf = jax.value_and_grad(loss_of, argnums=(0, 1, 2))(
+            disps, aa, tr, True
+        )
+        losses.set_use_cfirst(False)
+        v_nh, g_nh = jax.value_and_grad(loss_of, argnums=(0, 1, 2))(
+            disps, aa, tr, True
+        )
+        v_full = loss_of(disps, aa, tr, False)
+    finally:
+        losses.set_use_cfirst(None)
+
+    np.testing.assert_allclose(float(v_cf), float(v_nh), rtol=1e-5)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(g_cf), jax.tree_util.tree_leaves(g_nh)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+    # Different protocol => different objective value.
+    assert abs(float(v_cf) - float(v_full)) > 1e-6
+    # Scale-0-only disparity still gets gradient signal in both.
+    assert float(jnp.abs(g_cf[0][0]).sum()) > 0
+
+
+def test_temporal_step_with_num_scales_and_at_scale():
+    """The train step composes with scales=(0,1) + temporal_at_scale
+    (the CLI's --num-scales 2 --at-scale) and descends."""
+    import dataclasses
+
+    from scenedepthestimation_tpu import train
+    from scenedepthestimation_tpu.configs import MonoConfig, RunConfig
+
+    cfg = RunConfig(
+        name="tiny_at_scale", pipeline="mono", batch_size=2,
+        mono=MonoConfig(
+            height=32, width=64, scales=(0, 1), temporal_at_scale=True
+        ),
+    )
+    rng = np.random.default_rng(5)
+    k = np.array([[40.0, 0, 32], [0, 40.0, 16], [0, 0, 1]], np.float32)
+    batch = {
+        "frames": rng.integers(0, 256, (2, 3, 32, 64, 3), dtype=np.uint8),
+        "K": np.stack([k, k]),
+    }
+    state = train.make_temporal_train_state(cfg, seed=0)
+    step = train.make_mono_temporal_train_step(cfg)
+    state, m0 = step(state, batch)
+    for _ in range(6):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
