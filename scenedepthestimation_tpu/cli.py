@@ -228,18 +228,35 @@ def cmd_predict_batch(args: argparse.Namespace) -> int:
 
 def cmd_serve(args: argparse.Namespace) -> int:
     from scenedepthestimation_tpu import api
-    from scenedepthestimation_tpu.serve import serve_stdio
+    from scenedepthestimation_tpu.serve import serve_stdio, serve_tcp
 
     predictor = api.load_weights(
         args.weights, _resolve_config(args.config, args), seed=args.seed
     )
-    n = serve_stdio(
-        predictor,
-        args.output,
-        depth=args.depth,
-        artifacts=args.artifacts,
-        post_process=args.post_process,
-    )
+    if args.port is not None:
+        n = serve_tcp(
+            predictor,
+            args.output,
+            port=args.port,
+            host=args.host,
+            depth=args.depth,
+            artifacts=args.artifacts,
+            post_process=args.post_process,
+            max_connections=args.max_connections,
+            ready_cb=lambda p: print(
+                json.dumps({"listening": p, "host": args.host}),
+                file=sys.stderr,
+                flush=True,
+            ),
+        )
+    else:
+        n = serve_stdio(
+            predictor,
+            args.output,
+            depth=args.depth,
+            artifacts=args.artifacts,
+            post_process=args.post_process,
+        )
     print(json.dumps({"served": n}), file=sys.stderr)
     return 0
 
@@ -258,6 +275,10 @@ def cmd_train(args: argparse.Namespace) -> int:
         "mono-selfsup-stereo": "mono_kitti_192x640_fp32",
         "mono-selfsup-temporal": "mono_kitti_192x640_fp32",
     }[args.mode]
+    if getattr(args, "dataset", "kitti") == "nyu":
+        if args.mode != "mono-supervised":
+            raise CliError("--dataset nyu supports --mode mono-supervised only")
+        default_cfg = "mono_nyu_480x640_b8"
     cfg = _resolve_config(args.config or default_cfg)
     if args.batch_size:
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
@@ -271,6 +292,15 @@ def cmd_train(args: argparse.Namespace) -> int:
     if stereo_overrides:
         cfg = dataclasses.replace(
             cfg, stereo=dataclasses.replace(cfg.stereo, **stereo_overrides)
+        )
+    mono_overrides = {}
+    if getattr(args, "num_scales", None):
+        mono_overrides["scales"] = tuple(range(args.num_scales))
+    if getattr(args, "at_scale", False):
+        mono_overrides["temporal_at_scale"] = True
+    if mono_overrides:
+        cfg = dataclasses.replace(
+            cfg, mono=dataclasses.replace(cfg.mono, **mono_overrides)
         )
     net_hw = (cfg.height, cfg.width)
 
@@ -310,10 +340,17 @@ def cmd_train(args: argparse.Namespace) -> int:
         if args.mode == "mono-supervised":
             # Eigen-split supervised training (SURVEY §3.5): velodyne /
             # improved / precomputed-npz GT → sigmoid-disparity targets.
-            base = KittiRawDataset(
-                root=args.data_root, split_file=sf,
-                gt=args.gt, gt_root=args.gt_root,
-            )
+            # --dataset nyu trains on NYUv2 RGB-D pairs instead (same
+            # feed: NyuDataset exposes the image/gt_depth contract).
+            if getattr(args, "dataset", "kitti") == "nyu":
+                from scenedepthestimation_tpu.data.nyu import NyuDataset
+
+                base = NyuDataset(root=args.data_root)
+            else:
+                base = KittiRawDataset(
+                    root=args.data_root, split_file=sf,
+                    gt=args.gt, gt_root=args.gt_root,
+                )
             batches = train_feed.mono_train_batches(
                 base, net_hw, cfg.batch_size,
                 min_depth=cfg.mono.min_depth, max_depth=cfg.mono.max_depth,
@@ -681,6 +718,14 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--data-root", required=True)
     pt.add_argument("--split-file", default=None, help="KITTI raw split (mono modes)")
     pt.add_argument(
+        "--dataset",
+        default="kitti",
+        choices=["kitti", "nyu"],
+        help="mono-supervised training data: KITTI raw (Eigen split) or "
+        "an NYUv2 rgb/+depth/ tree (preset default becomes "
+        "mono_nyu_480x640_b8)",
+    )
+    pt.add_argument(
         "--gt",
         default="velodyne",
         choices=["velodyne", "improved", "npz"],
@@ -734,6 +779,23 @@ def build_parser() -> argparse.ArgumentParser:
         default=0.0,
         help="stereo: Gaussian-smoothed CE on the cost-volume softmax — "
         "the proven soft-argmin collapse anchor (BASELINE.md round 3)",
+    )
+    pt.add_argument(
+        "--num-scales",
+        type=int,
+        default=None,
+        metavar="N",
+        help="mono modes: train with N disparity scales (heads 0..N-1) "
+        "instead of the default 4 — a cheaper multi-scale protocol; the "
+        "saved checkpoint then only holds those heads",
+    )
+    pt.add_argument(
+        "--at-scale",
+        action="store_true",
+        help="temporal mode: photometric loss at each scale's native "
+        "resolution (monodepth-v1 protocol) instead of full-res "
+        "upsampling — cuts the gather cost ~3x; trade measured in "
+        "BASELINE.md round 4",
     )
     pt.add_argument(
         "--softargmin-temperature",
@@ -819,6 +881,21 @@ def build_parser() -> argparse.ArgumentParser:
         "('' = respond with stats only)",
     )
     ps.add_argument("--post-process", action="store_true", help="flip-TTA")
+    ps.add_argument(
+        "--port",
+        type=int,
+        default=None,
+        help="serve the JSONL protocol over TCP instead of stdio "
+        "(0 = ephemeral; the bound port is announced on stderr). "
+        "Remote clients can inline images as base64 via 'image_b64'",
+    )
+    ps.add_argument("--host", default="127.0.0.1", help="TCP bind address")
+    ps.add_argument(
+        "--max-connections",
+        type=int,
+        default=None,
+        help="exit after N client connections (default: serve forever)",
+    )
     ps.add_argument("--seed", type=int, default=0)
     ps.set_defaults(fn=cmd_serve)
     return p

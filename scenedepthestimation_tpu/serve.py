@@ -44,26 +44,41 @@ from scenedepthestimation_tpu.api import Predictor
 from scenedepthestimation_tpu.data import io
 
 
+def _load(req: Dict[str, Any], key: str):
+    """One view from a request: ``key`` is a host path, or ``key_b64``
+    carries the encoded image file (PNG/JPEG bytes, base64) inline —
+    the remote-client form for servers that share no filesystem."""
+    if key in req:
+        return io.load_image(req[key]), os.path.splitext(
+            os.path.basename(req[key])
+        )[0]
+    b64 = req.get(key + "_b64")
+    if b64 is not None:
+        import base64
+        import io as pyio
+
+        from PIL import Image
+
+        raw = base64.b64decode(b64)
+        with Image.open(pyio.BytesIO(raw)) as im:
+            return np.asarray(im.convert("RGB")), str(req.get("id", "frame"))
+    raise ValueError(f"request needs '{key}' (path) or '{key}_b64' (inline)")
+
+
 def _decode(req: Dict[str, Any], stereo: bool):
     """Host decode. Returns (args, stem) or raises ValueError."""
     if "_error" in req:
         raise ValueError(req["_error"])
     if stereo:
-        if "left" not in req or "right" not in req:
-            raise ValueError("stereo server needs 'left' and 'right' paths")
-        left = io.load_image(req["left"])
-        right = io.load_image(req["right"])
+        left, stem = _load(req, "left")
+        right, _ = _load(req, "right")
         if left.shape != right.shape:
             raise ValueError(
                 f"rectified pair shape mismatch: {left.shape} vs {right.shape}"
             )
-        return (left[None], right[None]), os.path.splitext(
-            os.path.basename(req["left"])
-        )[0]
-    if "image" not in req:
-        raise ValueError("mono server needs an 'image' path")
-    img = io.load_image(req["image"])
-    return (img[None],), os.path.splitext(os.path.basename(req["image"]))[0]
+        return (left[None], right[None]), stem
+    img, stem = _load(req, "image")
+    return (img[None],), stem
 
 
 def serve_requests(
@@ -189,3 +204,67 @@ def serve_stdio(
         n += 1
         print(json.dumps(resp), file=stdout, flush=True)
     return n
+
+
+def serve_tcp(
+    predictor: Predictor,
+    out_dir: str,
+    port: int,
+    host: str = "127.0.0.1",
+    depth: int = 3,
+    artifacts: str = "depth",
+    post_process: bool = False,
+    max_connections: Optional[int] = None,
+    ready_cb=None,
+) -> int:
+    """TCP JSONL server (``scenedepth serve --port``): the stdio
+    protocol over a socket, one client connection at a time — the
+    device program is a serial resource, so serialized connections ARE
+    the correct concurrency model (the pipelining happens INSIDE a
+    connection via ``depth`` requests in flight; SURVEY §5.2's
+    single-producer rule). Remote clients send images inline with
+    ``image_b64`` (see ``_load``) and read responses line by line.
+
+    ``max_connections`` bounds accepted connections (tests/supervised
+    restarts); ``ready_cb(port)`` fires once listening (the bound port —
+    pass ``port=0`` for an ephemeral one). Returns total requests
+    served.
+    """
+    import socket
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(1)
+    if ready_cb is not None:
+        ready_cb(srv.getsockname()[1])
+    served = 0
+    conns = 0
+    try:
+        while max_connections is None or conns < max_connections:
+            conn, _addr = srv.accept()
+            conns += 1
+            with conn:
+                rf = conn.makefile("r", encoding="utf-8")
+                wf = conn.makefile("w", encoding="utf-8")
+                try:
+                    served += serve_stdio(
+                        predictor,
+                        out_dir,
+                        depth=depth,
+                        artifacts=artifacts,
+                        post_process=post_process,
+                        stdin=rf,
+                        stdout=wf,
+                    )
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away mid-stream; next connection
+                finally:
+                    rf.close()
+                    try:
+                        wf.close()
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+    finally:
+        srv.close()
+    return served

@@ -154,3 +154,44 @@ def test_cli_resume_and_val_every(tmp_path, monkeypatch, capsys):
     val = [json.loads(l) for l in cap.out.splitlines() if "val_step" in l]
     assert [v["val_step"] for v in val] == [8]
     assert np.isfinite(val[0]["abs_rel"])
+
+
+def test_mono_supervised_nyu_dataset(tmp_path, monkeypatch, capsys):
+    """--dataset nyu trains from an NYUv2 rgb/+depth/ tree through the
+    same feed (NyuDataset exposes the image/gt_depth contract)."""
+    monkeypatch.setitem(configs.PRESETS, TINY.name, TINY)
+    root = tmp_path / "nyu"
+    rng = np.random.default_rng(3)
+    os.makedirs(root / "rgb", exist_ok=True)
+    os.makedirs(root / "depth", exist_ok=True)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+        ).save(root / "rgb" / f"{i:04d}.png")
+        depth_mm = (rng.uniform(0.5, 9.5, (48, 64)) * 1000).astype(np.uint16)
+        Image.fromarray(depth_mm, mode="I;16").save(
+            root / "depth" / f"{i:04d}.png"
+        )
+    rc = main(
+        [
+            "train", "--mode", "mono-supervised", "--dataset", "nyu",
+            "--config", TINY.name, "--data-root", str(root),
+            "--steps", "2", "--log-every", "1",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert sum('"loss"' in l for l in out.splitlines()) == 2
+
+
+def test_dataset_nyu_rejects_other_modes(tmp_path, capsys):
+    from scenedepthestimation_tpu.cli import main as cli_main
+
+    rc = cli_main(
+        [
+            "train", "--mode", "stereo-supervised", "--dataset", "nyu",
+            "--data-root", str(tmp_path), "--steps", "1",
+        ]
+    )
+    assert rc == 2
+    assert "mono-supervised only" in capsys.readouterr().err

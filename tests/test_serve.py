@@ -134,3 +134,78 @@ def test_serve_stereo_pair(tmp_path):
     assert "error" not in resps[0]
     assert os.path.exists(os.path.join(str(tmp_path / "out5"), "f0_disp.npy"))
     assert "right" in resps[1]["error"]
+
+
+def test_serve_b64_inline_image(predictor, tmp_path):
+    """Remote-client form: image file bytes inline as base64 — same
+    depth map as the path form."""
+    import base64
+
+    paths = _frames(tmp_path, 1)
+    with open(paths[0], "rb") as f:
+        b64 = base64.b64encode(f.read()).decode("ascii")
+    out = str(tmp_path / "out_b64")
+    r_path = list(
+        serve_requests(predictor, [{"id": 1, "image": paths[0]}], out)
+    )[0]
+    r_b64 = list(
+        serve_requests(predictor, [{"id": 2, "image_b64": b64}], out)
+    )[0]
+    assert "error" not in r_b64, r_b64
+    d1 = np.load(os.path.join(out, "f0_depth.npy"))
+    d2 = np.load(r_b64["output"])
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_serve_tcp_round_trip(predictor, tmp_path):
+    """TCP mode: stdio protocol over a socket (path + b64 requests,
+    ready line, in-order responses, connection count bound)."""
+    import base64
+    import socket
+    import threading
+
+    from scenedepthestimation_tpu.serve import serve_tcp
+
+    paths = _frames(tmp_path, 2)
+    with open(paths[1], "rb") as f:
+        b64 = base64.b64encode(f.read()).decode("ascii")
+
+    got_port = []
+    ready = threading.Event()
+
+    def _ready(p):
+        got_port.append(p)
+        ready.set()
+
+    served = []
+    t = threading.Thread(
+        target=lambda: served.append(
+            serve_tcp(
+                predictor,
+                str(tmp_path / "out_tcp"),
+                port=0,
+                depth=2,
+                max_connections=1,
+                ready_cb=_ready,
+            )
+        )
+    )
+    t.start()
+    assert ready.wait(timeout=30)
+    with socket.create_connection(("127.0.0.1", got_port[0]), timeout=30) as s:
+        rf = s.makefile("r", encoding="utf-8")
+        wf = s.makefile("w", encoding="utf-8")
+        hello = json.loads(rf.readline())
+        assert hello["ready"] is True and hello["pipeline"] == "mono"
+        wf.write(json.dumps({"id": 1, "image": paths[0]}) + "\n")
+        wf.write(json.dumps({"id": 2, "image_b64": b64}) + "\n")
+        wf.flush()
+        s.shutdown(socket.SHUT_WR)  # end of request stream
+        r1 = json.loads(rf.readline())
+        r2 = json.loads(rf.readline())
+    t.join(timeout=60)
+    assert not t.is_alive()
+    assert [r1["id"], r2["id"]] == [1, 2]
+    assert "error" not in r1 and "error" not in r2
+    assert served == [2]
+    assert os.path.exists(r1["output"]) and os.path.exists(r2["output"])
