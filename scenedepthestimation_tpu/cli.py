@@ -279,9 +279,20 @@ def cmd_train(args: argparse.Namespace) -> int:
         if args.mode != "mono-supervised":
             raise CliError("--dataset nyu supports --mode mono-supervised only")
         default_cfg = "mono_nyu_480x640_b8"
-    cfg = _resolve_config(args.config or default_cfg)
+    cfg = _resolve_config(args.config or default_cfg, args)
     if args.batch_size:
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    # Optimizer settings shared by every state construction below (and
+    # by the --resume template, which must match the saved structure).
+    opt_kw = dict(
+        seed=args.seed,
+        learning_rate=args.lr,
+        warmup_steps=args.warmup_steps,
+        accum_steps=args.accum_steps,
+        scheduler=args.scheduler,
+        decay_steps=args.decay_steps,
+        decay_rate=args.decay_rate,
+    )
     stereo_overrides = {}
     if getattr(args, "refine", False):
         stereo_overrides["refine"] = True
@@ -324,13 +335,7 @@ def cmd_train(args: argparse.Namespace) -> int:
             )
         if aug:
             batches = _with_aug_rng(batches, args.seed)
-        state = train.make_train_state(
-            cfg,
-            seed=args.seed,
-            learning_rate=args.lr,
-            warmup_steps=args.warmup_steps,
-            accum_steps=args.accum_steps,
-        )
+        state = train.make_train_state(cfg, **opt_kw)
     else:
         from scenedepthestimation_tpu.data.kitti import KittiRawDataset
 
@@ -360,13 +365,7 @@ def cmd_train(args: argparse.Namespace) -> int:
             if aug:
                 batches = _with_aug_rng(batches, args.seed)
             step_fn = train.make_mono_train_step(cfg, augment=aug)
-            state = train.make_train_state(
-                cfg,
-                seed=args.seed,
-                learning_rate=args.lr,
-                warmup_steps=args.warmup_steps,
-                accum_steps=args.accum_steps,
-            )
+            state = train.make_train_state(cfg, **opt_kw)
         elif args.mode == "mono-selfsup-stereo":
             base = KittiRawDataset(
                 root=args.data_root, split_file=sf, gt="none", load_pair=True
@@ -375,13 +374,7 @@ def cmd_train(args: argparse.Namespace) -> int:
                 base, net_hw, cfg.batch_size, seed=args.seed
             )
             step_fn = train.make_mono_selfsup_train_step(cfg)
-            state = train.make_train_state(
-                cfg,
-                seed=args.seed,
-                learning_rate=args.lr,
-                warmup_steps=args.warmup_steps,
-                accum_steps=args.accum_steps,
-            )
+            state = train.make_train_state(cfg, **opt_kw)
         else:
             base = KittiRawDataset(
                 root=args.data_root, split_file=sf, gt="none",
@@ -393,13 +386,7 @@ def cmd_train(args: argparse.Namespace) -> int:
                 seed=args.seed,
             )
             step_fn = train.make_mono_temporal_train_step(cfg)
-            state = train.make_temporal_train_state(
-                cfg,
-                seed=args.seed,
-                learning_rate=args.lr,
-                warmup_steps=args.warmup_steps,
-                accum_steps=args.accum_steps,
-            )
+            state = train.make_temporal_train_state(cfg, **opt_kw)
 
     if args.resume:
         # Full resume (VERDICT r3 missing-#3): params + BN stats + Adam
@@ -424,6 +411,7 @@ def cmd_train(args: argparse.Namespace) -> int:
         save_path=args.save,
         val_every=args.val_every,
         val_fn=val_fn,
+        log_file=args.log_file,
     )
     state = trainer.fit(batches, args.steps, state=state, step_fn=step_fn)
     if args.save:
@@ -738,7 +726,30 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pt.add_argument("--steps", type=int, default=1000)
     pt.add_argument("--batch-size", type=int, default=None)
+    pt.add_argument(
+        "--num-layers", type=int, default=None,
+        help="mono modes: encoder depth 18, 34 or 50",
+    )
     pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument(
+        "--scheduler",
+        default="step",
+        choices=["step", "constant"],
+        help="LR schedule: family step decay (x--decay-rate every "
+        "--decay-steps) or constant",
+    )
+    pt.add_argument(
+        "--decay-steps",
+        type=int,
+        default=15_000,
+        help="steps between LR decays (step scheduler)",
+    )
+    pt.add_argument(
+        "--decay-rate",
+        type=float,
+        default=0.1,
+        help="multiplicative LR decay factor (step scheduler)",
+    )
     pt.add_argument(
         "--warmup-steps",
         type=int,
@@ -841,6 +852,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="cap validation to N frames per pass",
     )
     pt.add_argument("--log-every", type=int, default=50)
+    pt.add_argument(
+        "--log-file",
+        default=None,
+        metavar="PATH",
+        help="also append every train/val JSON line to this file "
+        "(observability for long runs; stdout is unchanged)",
+    )
     pt.add_argument("--seed", type=int, default=0)
     pt.set_defaults(fn=cmd_train)
 

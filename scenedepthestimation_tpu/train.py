@@ -113,6 +113,9 @@ def make_train_state(
     learning_rate: float = 1e-4,
     warmup_steps: int = 0,
     accum_steps: int = 1,
+    scheduler: str = "step",
+    decay_steps: int = 15_000,
+    decay_rate: float = 0.1,
 ) -> TrainState:
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     rng = jax.random.PRNGKey(seed)
@@ -125,7 +128,12 @@ def make_train_state(
         dummy = (z, z)
     variables = model.init(rng, *dummy)
     tx = make_optimizer(
-        learning_rate, warmup_steps=warmup_steps, accum_steps=accum_steps
+        learning_rate,
+        scheduler=scheduler,
+        decay_steps=decay_steps,
+        decay_rate=decay_rate,
+        warmup_steps=warmup_steps,
+        accum_steps=accum_steps,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -455,6 +463,9 @@ def make_temporal_train_state(
     learning_rate: float = 1e-4,
     warmup_steps: int = 0,
     accum_steps: int = 1,
+    scheduler: str = "step",
+    decay_steps: int = 15_000,
+    decay_rate: float = 0.1,
 ) -> TrainState:
     """Joint depth+pose state for temporal self-supervision (SURVEY
     §3.5 / C14): params = {'depth': ..., 'pose': ...}."""
@@ -473,7 +484,12 @@ def make_temporal_train_state(
         "pose": pvars.get("batch_stats", {}),
     }
     tx = make_optimizer(
-        learning_rate, warmup_steps=warmup_steps, accum_steps=accum_steps
+        learning_rate,
+        scheduler=scheduler,
+        decay_steps=decay_steps,
+        decay_rate=decay_rate,
+        warmup_steps=warmup_steps,
+        accum_steps=accum_steps,
     )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -675,6 +691,9 @@ class Trainer:
     # JSON line {"val_step": N, ...}. 0 = off.
     val_every: int = 0
     val_fn: Optional[Callable] = None
+    # Also append every train/val JSON line to this file (long-run
+    # observability; stdout is unchanged).
+    log_file: Optional[str] = None
 
     def fit(
         self,
@@ -702,20 +721,29 @@ class Trainer:
                 if self.cfg.pipeline == "mono"
                 else make_stereo_train_step(self.cfg)
             )
+        logf = open(self.log_file, "a") if self.log_file else None
+
+        def emit(obj):
+            line = json.dumps(obj)
+            print(line, flush=True)
+            if logf is not None:
+                logf.write(line + "\n")
+                logf.flush()
+
         # One host sync at entry; per-step counting stays host-side
         # (int(state.step) every step would add a blocking dispatch —
         # ~28 ms on the dev tunnel, measurement-lessons).
         step = int(state.step)
         t0 = time.time()
         done0 = step
-        for batch in batches:
-            if step >= num_steps:
-                break
-            state, metrics = step_fn(state, batch)
-            step += 1
-            if step % self.log_every == 0:
-                print(
-                    json.dumps(
+        try:
+            for batch in batches:
+                if step >= num_steps:
+                    break
+                state, metrics = step_fn(state, batch)
+                step += 1
+                if step % self.log_every == 0:
+                    emit(
                         {
                             "step": step,
                             "loss": round(float(metrics["loss"]), 6),
@@ -723,18 +751,18 @@ class Trainer:
                                 (time.time() - t0) / max(step - done0, 1), 3
                             ),
                         }
-                    ),
-                    flush=True,
-                )
-            if self.val_every and self.val_fn and step % self.val_every == 0:
-                print(
-                    json.dumps(
-                        {"val_step": step, **self.val_fn(state)}
-                    ),
-                    flush=True,
-                )
-            if self.save_path and step % self.save_every == 0:
-                self.save(state, f"{self.save_path}/step_{step:07d}")
+                    )
+                if (
+                    self.val_every
+                    and self.val_fn
+                    and step % self.val_every == 0
+                ):
+                    emit({"val_step": step, **self.val_fn(state)})
+                if self.save_path and step % self.save_every == 0:
+                    self.save(state, f"{self.save_path}/step_{step:07d}")
+        finally:
+            if logf is not None:
+                logf.close()
         return state
 
     def save(self, state: TrainState, path: str) -> None:

@@ -185,3 +185,50 @@ def test_trainer_val_every(capsys):
     # num_steps is TOTAL: a state already at step 6 runs zero more.
     state2 = trainer.fit(batches, 6, state=state, step_fn=step)
     assert int(state2.step) == 6
+
+
+def test_trainer_log_file(tmp_path):
+    """--log-file: every train/val JSON line is appended to the file."""
+    batches = _stereo_batches(4)
+    step = train.make_stereo_train_step(TINY_STEREO)
+    path = str(tmp_path / "train_log.jsonl")
+    trainer = train.Trainer(
+        cfg=TINY_STEREO, log_every=2, val_every=4,
+        val_fn=lambda s: {"abs_rel": 0.25}, log_file=path,
+    )
+    state = train.make_train_state(TINY_STEREO, seed=0)
+    trainer.fit(batches, 4, state=state, step_fn=step)
+    lines = [json.loads(l) for l in open(path)]
+    assert [l.get("step", l.get("val_step")) for l in lines] == [2, 4, 4]
+    assert lines[2] == {"val_step": 4, "abs_rel": 0.25}
+
+
+def test_train_cli_optimizer_flags_parse():
+    """--scheduler/--decay-steps/--decay-rate/--num-layers/--log-file
+    exist and produce a consistent make_train_state signature."""
+    from scenedepthestimation_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        [
+            "train", "--mode", "mono-supervised", "--data-root", "/x",
+            "--scheduler", "constant", "--decay-steps", "100",
+            "--decay-rate", "0.5", "--num-layers", "34",
+            "--log-file", "/tmp/log.jsonl",
+        ]
+    )
+    assert args.scheduler == "constant" and args.decay_steps == 100
+    assert args.decay_rate == 0.5 and args.num_layers == 34
+    assert args.log_file == "/tmp/log.jsonl"
+
+
+def test_lr_schedule_step_decay_and_constant():
+    import numpy as np
+
+    sched = train.make_lr_schedule(1e-3, "step", decay_steps=10, decay_rate=0.1)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(10)) == pytest.approx(1e-4)
+    assert float(sched(20)) == pytest.approx(1e-5)
+    const = train.make_lr_schedule(1e-3, "constant")
+    assert float(const(0)) == float(const(10_000)) == pytest.approx(1e-3)
+    # Resume continuity: the schedule position rides opt_state.count,
+    # which restore_train_state round-trips (test_stereo_resume_bitmatch).
