@@ -282,6 +282,11 @@ def cmd_train(args: argparse.Namespace) -> int:
     cfg = _resolve_config(args.config or default_cfg, args)
     if args.batch_size:
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    if args.devices and args.devices > 1 and cfg.batch_size % args.devices:
+        raise CliError(
+            f"--batch-size {cfg.batch_size} not divisible by "
+            f"--devices {args.devices}"
+        )
     # Optimizer settings shared by every state construction below (and
     # by the --resume template, which must match the saved structure).
     opt_kw = dict(
@@ -399,6 +404,36 @@ def cmd_train(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
 
+    if args.devices and args.devices > 1:
+        # Multi-chip data-parallel training (SURVEY §2 parallelism /
+        # §5.8): params+opt state replicated, batch axis sharded; GSPMD
+        # compiles the loss mean into gradient all-reduces over ICI —
+        # the same legs __graft_entry__.dryrun_multichip validates.
+        import jax
+
+        from scenedepthestimation_tpu.parallel.mesh import (
+            make_mesh,
+            replicated,
+            shard_batch,
+        )
+
+        mesh = make_mesh(args.devices)
+        state = jax.device_put(state, replicated(mesh))
+        b = cfg.batch_size
+
+        def _shard(batches, mesh, b):
+            for batch in batches:
+                yield {
+                    k: (
+                        shard_batch(v, mesh)
+                        if getattr(v, "ndim", 0) >= 1 and v.shape[0] == b
+                        else jax.device_put(v, replicated(mesh))
+                    )
+                    for k, v in batch.items()
+                }
+
+        batches = _shard(batches, mesh, b)
+
     val_fn = None
     if args.val_every:
         val_fn = _make_val_fn(cfg, args)
@@ -436,9 +471,14 @@ def _make_val_fn(cfg, args):
         tempfile.mkdtemp(prefix="scenedepth_val_"), "weights"
     )
     stereo = args.mode.startswith("stereo")
-    split = "kitti2015" if stereo else "eigen"
+    if stereo:
+        split = "kitti2015"
+    elif getattr(args, "dataset", "kitti") == "nyu":
+        split = "nyu"  # NYU training validates on the NYU protocol
+    else:
+        split = "eigen"
     split_file = args.val_split_file
-    if not stereo and split_file is None:
+    if split == "eigen" and split_file is None:
         cand = os.path.join(
             args.data_root, "splits", "eigen", "val_files.txt"
         )
@@ -729,6 +769,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument(
         "--num-layers", type=int, default=None,
         help="mono modes: encoder depth 18, 34 or 50",
+    )
+    pt.add_argument(
+        "--devices",
+        type=int,
+        default=0,
+        help="data-parallel training over N chips (params replicated, "
+        "batch sharded; --batch-size must divide by N). 0 = single chip",
     )
     pt.add_argument("--lr", type=float, default=1e-4)
     pt.add_argument(

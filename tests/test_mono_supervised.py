@@ -195,3 +195,42 @@ def test_dataset_nyu_rejects_other_modes(tmp_path, capsys):
     )
     assert rc == 2
     assert "mono-supervised only" in capsys.readouterr().err
+
+
+def test_cli_train_devices_dp(tmp_path, monkeypatch, capsys):
+    """`scenedepth train --devices 8`: data-parallel training over the
+    8-virtual-device CPU mesh (params replicated, batch sharded) —
+    same JSON log stream, loss finite, checkpoint predict-compatible."""
+    monkeypatch.setitem(configs.PRESETS, TINY.name, TINY)
+    root = _make_tree(tmp_path, n=8)
+    save = str(tmp_path / "ckpt_dp")
+    rc = main(
+        [
+            "train", "--mode", "mono-supervised",
+            "--config", TINY.name, "--data-root", root,
+            "--steps", "3", "--log-every", "1",
+            "--batch-size", "8", "--devices", "8",
+            "--save", save, "--save-every", "1000",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    losses = [json.loads(l)["loss"] for l in out.splitlines() if '"loss"' in l]
+    assert len(losses) == 3 and all(np.isfinite(losses))
+    m = evaluate.run_eval(
+        config=TINY, data_root=root, split="eigen", max_items=2,
+        weights=os.path.join(save, "final"),
+    )
+    assert np.isfinite(m["abs_rel"])
+
+
+def test_cli_train_devices_divisibility(tmp_path, capsys):
+    rc = main(
+        [
+            "train", "--mode", "stereo-supervised",
+            "--data-root", str(tmp_path),
+            "--steps", "1", "--batch-size", "3", "--devices", "2",
+        ]
+    )
+    assert rc == 2
+    assert "not divisible" in capsys.readouterr().err
