@@ -1,0 +1,121 @@
+"""One-command verification matrix (round 4).
+
+Runs, in order, and prints one JSON line per check plus a final
+verdict line:
+
+1. quick test subset   — `pytest -m quick` (hermetic 8-virtual-device
+   CPU mesh; <5 min)
+2. multichip dryrun    — `__graft_entry__.dryrun_multichip(8)` in a
+   fresh subprocess (virtual CPU mesh; the driver's contract check)
+3. reference drill     — `tools/verify_reference.py` (no-op while
+   /root/reference is empty; the 8-constant diff the moment it isn't)
+4. judged bench        — `python bench.py` on the REAL chip (skipped
+   with --no-tpu; ~4 min warm, much longer on a cold compile cache)
+
+`--full` swaps the quick subset for the whole suite (~40 min).
+Exit code 0 iff every run check passed.
+
+Usage: python tools/release_check.py [--full] [--no-tpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def run(name: str, cmd, timeout: int, env=None) -> dict:
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            cmd,
+            cwd=REPO,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+        ok = proc.returncode == 0
+        lines = [
+            l
+            for l in (proc.stdout + proc.stderr).strip().splitlines()
+            if "Platform 'axon'" not in l  # experimental-backend noise
+        ]
+        tail = lines[-3:]
+    except subprocess.TimeoutExpired:
+        ok, tail = False, [f"timeout after {timeout}s"]
+    out = {
+        "check": name,
+        "ok": ok,
+        "seconds": round(time.time() - t0, 1),
+        "tail": tail,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true", help="whole test suite")
+    ap.add_argument("--no-tpu", action="store_true", help="skip bench.py")
+    args = ap.parse_args()
+
+    results = []
+
+    pytest_cmd = [sys.executable, "-m", "pytest", "-q"]
+    if not args.full:
+        pytest_cmd += ["-m", "quick"]
+    results.append(
+        run("tests" if args.full else "tests-quick", pytest_cmd,
+            timeout=4200 if args.full else 900)
+    )
+
+    env = os.environ.copy()
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    results.append(
+        run(
+            "multichip-dryrun",
+            [
+                sys.executable,
+                "-c",
+                "import __graft_entry__ as g; g.dryrun_multichip(8)",
+            ],
+            timeout=1800,
+            env=env,
+        )
+    )
+
+    results.append(
+        run(
+            "reference-drill",
+            [sys.executable, str(REPO / "tools" / "verify_reference.py")],
+            timeout=600,
+        )
+    )
+
+    if not args.no_tpu:
+        results.append(
+            run("judged-bench", [sys.executable, str(REPO / "bench.py")],
+                timeout=2400)
+        )
+
+    ok = all(r["ok"] for r in results)
+    print(json.dumps({"release_check": "pass" if ok else "FAIL",
+                      "checks": len(results)}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
