@@ -263,7 +263,6 @@ def cmd_serve(args: argparse.Namespace) -> int:
 
 def cmd_train(args: argparse.Namespace) -> int:
     import dataclasses
-    import time
 
     from scenedepthestimation_tpu import configs, train
     from scenedepthestimation_tpu.data import train_feed
