@@ -446,6 +446,7 @@ def cmd_train(args: argparse.Namespace) -> int:
         val_every=args.val_every,
         val_fn=val_fn,
         log_file=args.log_file,
+        save_on_interrupt=bool(args.save),
     )
     state = trainer.fit(batches, args.steps, state=state, step_fn=step_fn)
     if args.save:

@@ -621,7 +621,9 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
 def find_train_state(path: str) -> str:
     """Resolve a ``--resume`` argument: either a full-state checkpoint
     directory itself, or a save dir containing ``*_train`` snapshots
-    (picks ``final_train`` if present, else the highest step)."""
+    (``step_N_train``, ``final_train``, ``interrupt_train``) — picks
+    the most recently written one, so a SIGTERM'd run resumes from its
+    interrupt snapshot and a completed one from ``final_train``."""
     import os
 
     if os.path.isdir(os.path.join(path, "params")) or os.path.exists(
@@ -629,18 +631,20 @@ def find_train_state(path: str) -> str:
     ):
         return path
     if os.path.isdir(path):
-        final = os.path.join(path, "final_train")
-        if os.path.isdir(final):
-            return final
-        steps = sorted(
-            e for e in os.listdir(path)
-            if e.startswith("step_") and e.endswith("_train")
-        )
-        if steps:
-            return os.path.join(path, steps[-1])
+        cands = [
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if e.endswith("_train")
+            and (
+                e.startswith("step_") or e in ("final_train", "interrupt_train")
+            )
+            and os.path.isdir(os.path.join(path, e))
+        ]
+        if cands:
+            return max(cands, key=lambda p: (os.path.getmtime(p), p))
     raise FileNotFoundError(
         f"no full train state under {path!r} (expected a checkpoint dir, "
-        f"or a save dir with final_train / step_*_train)"
+        f"or a save dir with step_*_train / final_train / interrupt_train)"
     )
 
 
@@ -694,6 +698,11 @@ class Trainer:
     # Also append every train/val JSON line to this file (long-run
     # observability; stdout is unchanged).
     log_file: Optional[str] = None
+    # Save a resumable full-state checkpoint at {save_path}/interrupt
+    # on SIGTERM/SIGINT and stop cleanly (SURVEY §5.3/5.4 failure
+    # recovery: a preempted run loses at most the in-flight step).
+    # Requires save_path; engaged by fit() only in the main thread.
+    save_on_interrupt: bool = False
 
     def fit(
         self,
@@ -730,6 +739,23 @@ class Trainer:
                 logf.write(line + "\n")
                 logf.flush()
 
+        # Cooperative interrupt: the handler only sets a flag — the loop
+        # finishes the in-flight step, saves a resumable snapshot, and
+        # returns. Installed in the main thread only (signal module
+        # restriction); the previous handlers are restored on exit.
+        stop = {"flag": False}
+        prev_handlers = {}
+        if self.save_on_interrupt and self.save_path:
+            import signal
+            import threading
+
+            if threading.current_thread() is threading.main_thread():
+                def _on_signal(signum, frame):
+                    stop["flag"] = True
+
+                for sig in (signal.SIGTERM, signal.SIGINT):
+                    prev_handlers[sig] = signal.signal(sig, _on_signal)
+
         # One host sync at entry; per-step counting stays host-side
         # (int(state.step) every step would add a blocking dispatch —
         # ~28 ms on the dev tunnel, measurement-lessons).
@@ -739,6 +765,11 @@ class Trainer:
         try:
             for batch in batches:
                 if step >= num_steps:
+                    break
+                if stop["flag"]:
+                    path = f"{self.save_path}/interrupt"
+                    self.save(state, path)
+                    emit({"interrupted_at": step, "saved": path})
                     break
                 state, metrics = step_fn(state, batch)
                 step += 1
@@ -763,6 +794,11 @@ class Trainer:
         finally:
             if logf is not None:
                 logf.close()
+            if prev_handlers:
+                import signal
+
+                for sig, h in prev_handlers.items():
+                    signal.signal(sig, h)
         return state
 
     def save(self, state: TrainState, path: str) -> None:

@@ -232,3 +232,45 @@ def test_lr_schedule_step_decay_and_constant():
     assert float(const(0)) == float(const(10_000)) == pytest.approx(1e-3)
     # Resume continuity: the schedule position rides opt_state.count,
     # which restore_train_state round-trips (test_stereo_resume_bitmatch).
+
+
+def test_trainer_interrupt_checkpoint(tmp_path, capsys):
+    """SIGTERM mid-run → resumable {save}/interrupt snapshot, clean
+    stop, handlers restored; --resume finds it as the newest state."""
+    import os
+    import signal
+    import time as _time
+
+    batches = _stereo_batches(6)
+    step = train.make_stereo_train_step(TINY_STEREO)
+    save = str(tmp_path / "ck")
+
+    def feed():
+        for i, b in enumerate(batches):
+            if i == 2:  # after two steps have been taken
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    prev = signal.getsignal(signal.SIGTERM)
+    trainer = train.Trainer(
+        cfg=TINY_STEREO, log_every=100, save_path=save,
+        save_on_interrupt=True,
+    )
+    state = train.make_train_state(TINY_STEREO, seed=0)
+    state = trainer.fit(feed(), 6, state=state, step_fn=step)
+    assert signal.getsignal(signal.SIGTERM) is prev  # handler restored
+    out = capsys.readouterr().out
+    assert '"interrupted_at": 2' in out
+    assert os.path.isdir(os.path.join(save, "interrupt_train"))
+
+    # Resume: the interrupt snapshot is the newest *_train; global step
+    # restored; remaining steps complete the run.
+    resumed = train.restore_train_state(
+        train.find_train_state(save),
+        train.make_train_state(TINY_STEREO, seed=0),
+    )
+    assert int(resumed.step) == 2
+    # A later final save becomes the newest and wins resolution.
+    _time.sleep(0.05)
+    train.save_checkpoint(state, os.path.join(save, "final"))
+    assert train.find_train_state(save).endswith("final_train")
