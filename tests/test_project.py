@@ -315,3 +315,47 @@ def test_temporal_step_with_num_scales_and_at_scale():
         state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_temporal_train_step_with_augmentation():
+    """augment=True (VERDICT r4 missing-#3): the step accepts an 'rng'
+    key, compiles, produces a finite loss, and updates BOTH networks'
+    params (flip + jitter must not cut the gradient path)."""
+    import jax as _jax
+
+    from scenedepthestimation_tpu import train
+    from scenedepthestimation_tpu.configs import MonoConfig, RunConfig
+
+    cfg = RunConfig(
+        name="t_temporal_aug", pipeline="mono", batch_size=2,
+        mono=MonoConfig(height=32, width=64),
+    )
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (2, 3, 32, 64, 3), dtype=np.uint8)
+    k = np.broadcast_to(
+        np.array([[40.0, 0, 30.0], [0, 40.0, 16], [0, 0, 1]], np.float32),
+        (2, 3, 3),
+    ).copy()
+    batch = {"frames": frames, "K": k, "rng": _jax.random.PRNGKey(3)}
+
+    state = train.make_temporal_train_state(cfg, seed=0, learning_rate=1e-3)
+    p0 = _jax.tree_util.tree_map(np.asarray, state.params)
+    step = train.make_mono_temporal_train_step(cfg, augment=True)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    p1 = state.params
+    depth_moved = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(
+            _jax.tree_util.tree_leaves(p0["depth"]),
+            _jax.tree_util.tree_leaves(p1["depth"]),
+        )
+    )
+    pose_moved = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(
+            _jax.tree_util.tree_leaves(p0["pose"]),
+            _jax.tree_util.tree_leaves(p1["pose"]),
+        )
+    )
+    assert depth_moved and pose_moved

@@ -146,3 +146,26 @@ def test_mono_selfsup_step_runs_and_is_finite():
     state, m2 = step(state, batch)
     assert np.isfinite(float(m2["loss"]))
     assert int(state.step) == 2
+
+
+def test_mono_selfsup_step_with_augmentation():
+    """augment=True (VERDICT r4 missing-#3): pair-consistent flip with
+    view swap + shared jitter; clean post-flip views are the
+    photometric targets. Finite loss, params update."""
+    import jax as _jax
+
+    batch = dict(_pair_batch())
+    batch["rng"] = _jax.random.PRNGKey(9)
+    state = train.make_train_state(TINY_MONO, seed=0, learning_rate=1e-4)
+    p0 = _jax.tree_util.tree_map(np.asarray, state.params)
+    step = train.make_mono_selfsup_train_step(TINY_MONO, augment=True)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    moved = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(
+            _jax.tree_util.tree_leaves(p0),
+            _jax.tree_util.tree_leaves(state.params),
+        )
+    )
+    assert moved
