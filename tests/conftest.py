@@ -97,6 +97,7 @@ _QUICK_NONE = {
     "test_stem.py",
     "test_torch_import.py",
     "test_winograd.py",
+    "test_torch_export.py",
 }
 
 # module -> included test names ("only" mode: just these are quick).
