@@ -1020,8 +1020,9 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         metavar="DIR",
         help="ALSO/instead write the reference-family .pth layout "
-        "(encoder.pth + depth.pth, + pose files when a {weights}_pose "
-        "artifact exists) — the interop inverse of loading .pth weights",
+        "(mono: encoder.pth + depth.pth, + pose files when a "
+        "{weights}_pose artifact exists; stereo: one stereo.pth) — "
+        "the interop inverse of loading .pth weights",
     )
     px.add_argument("--batch-size", type=int, default=1)
     px.add_argument(

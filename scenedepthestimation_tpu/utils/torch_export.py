@@ -155,6 +155,17 @@ def pose_decoder_state_dict(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     return state
 
 
+def generic_state_dict(
+    params: Mapping[str, Any],
+    batch_stats: Optional[Mapping[str, Any]] = None,
+) -> Dict[str, np.ndarray]:
+    """Whole-model state dict with plain pass-through names (only the
+    torchvision layer/downsample rewrites applied) — the convention
+    ``tools/torch_ref.py``'s stereo net uses (``tower.down1.conv.weight``
+    …). The exact inverse of ``convert_state_dict`` with no prefix."""
+    return encoder_state_dict(params, batch_stats, prefix="")
+
+
 def _save(state: Dict[str, np.ndarray], path: str, extra=None) -> None:
     import torch
 
@@ -189,6 +200,15 @@ def export_torch_dir(
         path = os.path.join(out_dir, stem + ".pth")
         _save(state, path, extra=extra)
         written[stem] = path
+
+    if "tower" in params:
+        # Stereo net: no family ModuleList serialization to target —
+        # one whole-model file in the pass-through naming the torch
+        # re-derivation (tools/torch_ref.py StereoNet) loads directly.
+        # The import side round-trips it: load_torch_dir merges unknown
+        # stems at the root with no prefix.
+        emit("stereo", generic_state_dict(params, stats))
+        return written
 
     if set(params) == {"depth", "pose"}:
         depth_p, pose_p = params["depth"], params["pose"]

@@ -165,3 +165,50 @@ def test_cli_export_torch(tmp_path):
     back = checkpoint.load_variables(out)
     _assert_trees_bitequal(v["params"], back["params"])
     _assert_trees_bitequal(v["batch_stats"], back["batch_stats"])
+
+
+def test_stereo_export_roundtrip_and_torch_forward(tmp_path):
+    """Stereo nets export as one whole-model stereo.pth in the
+    pass-through naming the torch re-derivation loads directly:
+    round-trip bit-exact AND torch forward on exported weights matches
+    our forward at import-parity tolerance."""
+    import torch
+    import torch_ref
+
+    from scenedepthestimation_tpu.configs import StereoConfig
+    from scenedepthestimation_tpu.models.stereo import StereoNet
+
+    cfg = StereoConfig(height=64, width=128, max_disp=32, feat_channels=32)
+    model = StereoNet(cfg=cfg)
+    z = jnp.zeros((1, 64, 128, 3))
+    v = jax.tree_util.tree_map(
+        np.asarray, dict(model.init(jax.random.PRNGKey(2), z, z))
+    )
+    written = torch_export.export_torch_dir(v, str(tmp_path))
+    assert set(written) == {"stereo"}
+
+    back = torch_import.load_torch_file(str(tmp_path / "stereo.pth"))
+    _assert_trees_bitequal(v["params"], back["params"])
+
+    tmodel = torch_ref.StereoNet(max_disp=32, feat_channels=32).eval()
+    state = torch.load(
+        str(tmp_path / "stereo.pth"), map_location="cpu", weights_only=True
+    )
+    missing, unexpected = tmodel.load_state_dict(state, strict=False)
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in m for m in missing), missing
+
+    rng = np.random.default_rng(4)
+    left = rng.normal(size=(1, 64, 128, 3)).astype(np.float32)
+    right = rng.normal(size=(1, 64, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        tout = tmodel(
+            torch.from_numpy(left.transpose(0, 3, 1, 2)),
+            torch.from_numpy(right.transpose(0, 3, 1, 2)),
+        ).numpy()
+    jout = np.asarray(
+        model.apply(
+            {"params": v["params"]}, jnp.asarray(left), jnp.asarray(right)
+        )
+    )
+    np.testing.assert_allclose(jout, tout, atol=1e-4, rtol=1e-5)
