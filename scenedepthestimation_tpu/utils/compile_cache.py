@@ -54,17 +54,38 @@ def enable_compile_cache(
     path = path or os.environ.get(ENV_VAR) or DEFAULT_DIR
     path = os.path.expanduser(path)
     os.makedirs(path, exist_ok=True)
+    repoint = jax.config.jax_compilation_cache_dir not in (None, path)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", min_compile_time_secs
     )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if repoint:
+        _reset_jax_cache_singleton()
     return path
+
+
+def _reset_jax_cache_singleton() -> None:
+    """JAX materializes its persistent-cache object lazily ONCE; after
+    that, jax_compilation_cache_dir updates are silently ignored —
+    re-pointing the cache (this module's documented contract, and what
+    a long-lived process changing --compile-cache expects) requires
+    dropping the singleton so the next compile re-reads the config.
+    Private API, so a removal in a future jaxlib degrades to the old
+    first-dir-wins behavior instead of crashing."""
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except Exception:
+        pass
 
 
 def disable_compile_cache() -> None:
     """Turn the persistent cache off (test hygiene; not used in serving)."""
-    jax.config.update("jax_compilation_cache_dir", None)
+    if jax.config.jax_compilation_cache_dir is not None:
+        jax.config.update("jax_compilation_cache_dir", None)
+        _reset_jax_cache_singleton()
 
 
 def maybe_enable_from_env() -> Optional[str]:

@@ -118,7 +118,6 @@ _QUICK_NONE = {
     "test_stem.py",
     "test_torch_import.py",
     "test_winograd.py",
-    "test_torch_export.py",
 }
 
 # module -> included test names ("only" mode: just these are quick).
@@ -131,7 +130,15 @@ _QUICK_ONLY = {
         "test_stereo_loss_ignores_invalid",
     },
     "test_checkpoint.py": {"test_load_rejects_unknown_path"},
-    "test_resume.py": {"test_find_train_state"},
+    "test_resume.py": {
+        "test_find_train_state",
+        "test_find_train_state_orders_by_step_not_mtime",
+        "test_find_train_state_rejects_predict_artifact",
+    },
+    "test_torch_export.py": {
+        "test_mono_export_roundtrip_bitexact",
+        "test_export_rejects_unknown_decoder_module",
+    },
     "test_run_eval.py": {
         "test_run_eval_unknown_split",
         "test_npz_gt_length_mismatch",

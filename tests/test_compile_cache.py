@@ -14,6 +14,14 @@ import jax.numpy as jnp
 from scenedepthestimation_tpu.utils import compile_cache
 
 
+def _restore_session_cache():
+    """Point the cache back at the suite-wide dir (tests/conftest.py)
+    rather than disabling it — later modules keep their warm compiles."""
+    compile_cache.enable_compile_cache(
+        os.environ["JAX_COMPILATION_CACHE_DIR"], min_compile_time_secs=0.5
+    )
+
+
 def test_enable_writes_entries(tmp_path):
     d = str(tmp_path / "xla")
     try:
@@ -28,7 +36,7 @@ def test_enable_writes_entries(tmp_path):
         assert os.path.isdir(d)
         assert len(os.listdir(d)) >= 1
     finally:
-        compile_cache.disable_compile_cache()
+        _restore_session_cache()
 
 
 def test_env_var_resolution(tmp_path, monkeypatch):
@@ -39,7 +47,7 @@ def test_env_var_resolution(tmp_path, monkeypatch):
         # maybe_enable_from_env fires when the var is set
         assert compile_cache.maybe_enable_from_env() == d
     finally:
-        compile_cache.disable_compile_cache()
+        _restore_session_cache()
 
 
 def test_maybe_enable_noop_without_env(monkeypatch):
