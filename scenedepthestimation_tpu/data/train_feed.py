@@ -22,25 +22,46 @@ from typing import Iterator, Optional
 import numpy as np
 
 
-def _prefetch_map(fn, items, workers: int):
-    """Yield ``fn(item)`` in input order; ``workers > 0`` runs up to
-    that many calls concurrently with a bounded (2x) in-flight window."""
+import contextlib
+
+
+@contextlib.contextmanager
+def _maybe_executor(workers: int):
+    """One thread pool for a batcher generator's WHOLE lifetime (all
+    epochs) — a per-epoch pool would rebuild threads and join the
+    in-flight tail at every epoch boundary. None when ``workers<=0``."""
+    if workers <= 0:
+        yield None
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        yield ex
+
+
+def _prefetch_map(fn, items, workers: int, ex=None):
+    """Yield ``fn(item)`` in input order; with an executor, up to
+    ``workers`` calls run concurrently inside a bounded (2x) in-flight
+    window. ``ex=None`` + ``workers>0`` builds a pool just for this
+    call (tests / one-shot use)."""
     if workers <= 0:
         for it in items:
             yield fn(it)
         return
+    if ex is None:
+        with _maybe_executor(workers) as ex2:
+            yield from _prefetch_map(fn, items, workers, ex2)
+        return
     from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
 
     ahead = 2 * workers
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        pending: deque = deque()
-        for it in items:
-            pending.append(ex.submit(fn, it))
-            if len(pending) > ahead:
-                yield pending.popleft().result()
-        while pending:
+    pending: deque = deque()
+    for it in items:
+        pending.append(ex.submit(fn, it))
+        if len(pending) > ahead:
             yield pending.popleft().result()
+    while pending:
+        yield pending.popleft().result()
 
 
 def _crop_at(u, arrays, out_hw):
@@ -87,7 +108,8 @@ def stereo_train_batches(
     n = len(dataset)
     _check_enough(n, batch_size)
     epoch = 0
-    while epochs is None or epoch < epochs:
+    with _maybe_executor(workers) as _ex:
+      while epochs is None or epoch < epochs:
         order, us = _epoch_plan(rng, n)
 
         def load(i_idx):
@@ -99,7 +121,7 @@ def stereo_train_batches(
             return left, right, gt
 
         buf = {"left": [], "right": [], "gt_disp": [], "valid": []}
-        for left, right, gt in _prefetch_map(load, enumerate(order), workers):
+        for left, right, gt in _prefetch_map(load, enumerate(order), workers, ex=_ex):
             buf["left"].append(left)
             buf["right"].append(right)
             buf["gt_disp"].append(gt)
@@ -124,7 +146,8 @@ def stereo_selfsup_batches(
     n = len(dataset)
     _check_enough(n, batch_size)
     epoch = 0
-    while epochs is None or epoch < epochs:
+    with _maybe_executor(workers) as _ex:
+      while epochs is None or epoch < epochs:
         order, us = _epoch_plan(rng, n)
 
         def load(i_idx):
@@ -133,7 +156,7 @@ def stereo_selfsup_batches(
             return _crop_at(us[i], [s["left"], s["right"]], net_hw)
 
         left_buf, right_buf = [], []
-        for left, right in _prefetch_map(load, enumerate(order), workers):
+        for left, right in _prefetch_map(load, enumerate(order), workers, ex=_ex):
             left_buf.append(left)
             right_buf.append(right)
             if len(left_buf) == batch_size:
@@ -183,7 +206,8 @@ def mono_train_batches(
     n = len(dataset)
     _check_enough(n, batch_size)
     epoch = 0
-    while epochs is None or epoch < epochs:
+    with _maybe_executor(workers) as _ex:
+      while epochs is None or epoch < epochs:
         order, us = _epoch_plan(rng, n)
 
         def load(i_idx):
@@ -210,7 +234,7 @@ def mono_train_batches(
             return img, gt[ys][:, xs]
 
         img_buf, gt_buf = [], []
-        for img, gt in _prefetch_map(load, enumerate(order), workers):
+        for img, gt in _prefetch_map(load, enumerate(order), workers, ex=_ex):
             img_buf.append(img)
             gt_buf.append(gt)
             if len(img_buf) == batch_size:
@@ -239,7 +263,8 @@ def mono_pair_batches(
     n = len(dataset)
     _check_enough(n, batch_size)
     epoch = 0
-    while epochs is None or epoch < epochs:
+    with _maybe_executor(workers) as _ex:
+      while epochs is None or epoch < epochs:
         order, us = _epoch_plan(rng, n)
 
         def load(i_idx):
@@ -253,7 +278,7 @@ def mono_pair_batches(
             return _crop_at(us[i], [lf, rt], net_hw)
 
         left_buf, right_buf = [], []
-        for lf, rt in _prefetch_map(load, enumerate(order), workers):
+        for lf, rt in _prefetch_map(load, enumerate(order), workers, ex=_ex):
             left_buf.append(lf)
             right_buf.append(rt)
             if len(left_buf) == batch_size:
@@ -321,7 +346,8 @@ def temporal_train_batches(
     n = len(dataset)
     _check_enough(n, batch_size)
     epoch = 0
-    while epochs is None or epoch < epochs:
+    with _maybe_executor(workers) as _ex:
+      while epochs is None or epoch < epochs:
         order = rng.permutation(n)
 
         def load(idx):
@@ -349,7 +375,7 @@ def temporal_train_batches(
             return resized, k
 
         frames_buf, k_buf = [], []
-        for resized, k in _prefetch_map(load, order, workers):
+        for resized, k in _prefetch_map(load, order, workers, ex=_ex):
             frames_buf.append(resized)
             k_buf.append(k)
             if len(frames_buf) == batch_size:

@@ -163,6 +163,7 @@ def serve_stdio(
     stdin=None,
     stdout=None,
     max_request_bytes: int = 0,
+    served_box=None,
 ) -> int:
     """stdin/stdout JSONL loop (the ``scenedepth serve`` CLI body).
 
@@ -176,7 +177,15 @@ def serve_stdio(
     mode. The remainder of the line cannot be skipped without reading
     it, which is exactly the unbounded-memory attack the limit exists
     to stop, so resynchronizing the stream is impossible by
-    construction (VERDICT r4 weak-#2).
+    construction (VERDICT r4 weak-#2). The limit counts text-mode
+    CHARACTERS (the stream is UTF-8): for the ASCII base64/JSON the
+    protocol carries these coincide; adversarial multibyte input can
+    occupy up to ~4x the limit in memory before rejection — still a
+    hard bound.
+
+    ``served_box``: optional single-element list the response count is
+    mirrored into as it grows — the TCP caller reads it when a timeout/
+    reset aborts this function before it can return.
     """
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
@@ -202,7 +211,14 @@ def serve_stdio(
             )
             if not line:
                 break
-            if max_request_bytes and len(line) > max_request_bytes:
+            # A line of exactly max payload chars + '\n' is compliant:
+            # readline(max+1) returns it WITH the newline (max+1 chars);
+            # only a truncated read (no newline) exceeds the bound.
+            if (
+                max_request_bytes
+                and len(line) > max_request_bytes
+                and not line.endswith("\n")
+            ):
                 yield {
                     "_error": (
                         f"request line exceeds max_request_bytes="
@@ -231,6 +247,8 @@ def serve_stdio(
         post_process=post_process,
     ):
         n += 1
+        if served_box is not None:
+            served_box[0] = n
         print(json.dumps(resp), file=stdout, flush=True)
     return n
 
@@ -288,8 +306,12 @@ def serve_tcp(
                 conn.settimeout(timeout)
                 rf = conn.makefile("r", encoding="utf-8")
                 wf = conn.makefile("w", encoding="utf-8")
+                # Mirrored response count: when a timeout/reset aborts
+                # serve_stdio mid-stream its return value is lost, but
+                # the requests it DID serve must still be counted.
+                box = [0]
                 try:
-                    served += serve_stdio(
+                    serve_stdio(
                         predictor,
                         out_dir,
                         depth=depth,
@@ -298,6 +320,7 @@ def serve_tcp(
                         stdin=rf,
                         stdout=wf,
                         max_request_bytes=max_request_bytes,
+                        served_box=box,
                     )
                 except (
                     BrokenPipeError,
@@ -306,6 +329,7 @@ def serve_tcp(
                 ):
                     pass  # client went away mid-stream; next connection
                 finally:
+                    served += box[0]
                     rf.close()
                     try:
                         wf.close()

@@ -655,7 +655,7 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
 def _snapshot_step(path: str) -> int:
     """Global step embedded in a full-state snapshot: the
     ``TRAIN_STATE.json`` sidecar (authoritative), else the ``step_N``
-    dirname convention, else -1 (unknown)."""
+    dirname convention, else -1 (unknown — pre-sidecar checkpoint)."""
     import json
     import os
     import re
@@ -663,7 +663,9 @@ def _snapshot_step(path: str) -> int:
     try:
         with open(os.path.join(path, "TRAIN_STATE.json")) as f:
             return int(json.load(f)["step"])
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # Missing or malformed sidecar (e.g. {"step": null}): fall back
+        # to the dirname convention rather than crashing --resume.
         pass
     m = re.search(r"step_(\d+)_train$", os.path.basename(path))
     return int(m.group(1)) if m else -1
@@ -685,13 +687,16 @@ def _is_full_train_state(path: str) -> bool:
     try:
         with open(meta) as f:
             tree = json.load(f)["tree_metadata"]
-    except (OSError, ValueError, KeyError):
-        # Unreadable/older metadata: accept and let the restore decide.
+        return any(
+            v.get("key_metadata", [{}])[0].get("key") == "opt_state"
+            for v in tree.values()
+        )
+    except Exception:
+        # Unreadable metadata OR an orbax-version/shape surprise in the
+        # probe itself (empty key_metadata, non-dict entries, ...):
+        # accept and let the restore decide — the probe exists to give a
+        # better error, never to produce a worse one.
         return True
-    return any(
-        v.get("key_metadata", [{}])[0].get("key") == "opt_state"
-        for v in tree.values()
-    )
 
 
 def find_train_state(path: str) -> str:
@@ -725,10 +730,19 @@ def find_train_state(path: str) -> str:
             and os.path.isdir(os.path.join(path, e))
         ]
         if cands:
-            return max(
-                cands,
-                key=lambda p: (_snapshot_step(p), os.path.getmtime(p), p),
-            )
+            steps = {p: _snapshot_step(p) for p in cands}
+            if all(s >= 0 for s in steps.values()):
+                return max(
+                    cands,
+                    key=lambda p: (steps[p], os.path.getmtime(p), p),
+                )
+            # Back-compat: a pre-sidecar tree has final_train /
+            # interrupt_train snapshots with UNKNOWN step — ranking
+            # them -1 would silently resume an older step_N_train and
+            # discard progress, so such trees keep the legacy
+            # newest-mtime rule (step ordering engages only when every
+            # candidate's step is known).
+            return max(cands, key=lambda p: (os.path.getmtime(p), p))
     raise FileNotFoundError(
         f"no full train state under {path!r} (expected a checkpoint dir, "
         f"or a save dir with step_*_train / final_train / interrupt_train)"

@@ -185,6 +185,31 @@ def test_find_train_state_orders_by_step_not_mtime(tmp_path):
     assert train.find_train_state(str(save)).endswith("interrupt_train")
 
 
+def test_find_train_state_presidecar_tree_uses_mtime(tmp_path):
+    """Back-compat: a checkpoint tree written BEFORE the step sidecar
+    existed (final_train/interrupt_train carry no TRAIN_STATE.json and
+    no step in their name) must keep the legacy newest-mtime rule —
+    ranking unknown steps as -1 would silently resume an older
+    step_N_train and discard progress."""
+    import os
+    import time as _time
+
+    s = train.make_train_state(TINY_STEREO, seed=0)
+    save = tmp_path / "ckpts"
+    save.mkdir()
+    train.save_train_state(s, str(save / "step_0001000_train"))
+    train.save_train_state(s, str(save / "interrupt_train"))
+    # Strip the sidecars to simulate a pre-round-5 tree, then pin the
+    # mtimes (the removals themselves touch the dirs): interrupt is
+    # the NEWER snapshot, as a real interrupted run would leave it.
+    now = _time.time()
+    for e in os.listdir(save):
+        os.remove(save / e / "TRAIN_STATE.json")
+    os.utime(save / "step_0001000_train", (now - 60, now - 60))
+    os.utime(save / "interrupt_train", (now, now))
+    assert train.find_train_state(str(save)).endswith("interrupt_train")
+
+
 def test_find_train_state_rejects_predict_artifact(tmp_path):
     """`--resume save/final` (the predict artifact, no opt_state) must
     fail with a clear message, not an opaque orbax structure mismatch

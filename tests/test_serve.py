@@ -255,10 +255,21 @@ def test_serve_tcp_oversized_request_rejected(predictor, tmp_path):
         rf = s.makefile("r", encoding="utf-8")
         wf = s.makefile("w", encoding="utf-8")
         assert json.loads(rf.readline())["ready"] is True
+        # Boundary: a payload of EXACTLY max_request_bytes chars is
+        # compliant — processed normally (here: a bad-image error
+        # response, NOT a size rejection). Both requests go out before
+        # reading: responses flush when the stream ends (pipelining
+        # holds up to `depth` responses in flight).
+        req = json.dumps({"id": 0, "image_b64": "A" * 900})
+        req += " " * (1024 - len(req))  # pad payload to exactly 1024
+        wf.write(req + "\n")
         wf.write(json.dumps({"id": 1, "image_b64": "A" * 4096}) + "\n")
         wf.flush()
-        resp = json.loads(rf.readline())
-        assert "max_request_bytes" in resp["error"]
+        resp0 = json.loads(rf.readline())
+        assert resp0["id"] == 0
+        assert "max_request_bytes" not in resp0.get("error", "")
+        resp1 = json.loads(rf.readline())
+        assert "max_request_bytes" in resp1["error"]
         assert rf.readline() == ""  # server closed the connection
     t.join(timeout=60)
     assert not t.is_alive()
