@@ -12,7 +12,8 @@ verdict line:
 4. judged bench        — `python bench.py` on the REAL chip (skipped
    with --no-tpu; ~4 min warm, much longer on a cold compile cache)
 
-`--full` swaps the quick subset for the whole suite (~40 min).
+`--full` swaps the quick subset for the whole suite (46 min cold, ~21
+   min with a warm .jax_test_cache).
 Exit code 0 iff every run check passed.
 
 Usage: python tools/release_check.py [--full] [--no-tpu]
