@@ -212,3 +212,35 @@ def test_stereo_export_roundtrip_and_torch_forward(tmp_path):
         )
     )
     np.testing.assert_allclose(jout, tout, atol=1e-4, rtol=1e-5)
+
+
+def test_cli_export_torch_temporal_pose_rides_along(tmp_path):
+    """`scenedepth export --torch` detects a sibling {weights}_pose
+    artifact (temporal training's save_predict_artifact layout) and
+    writes the full 4-file family layout."""
+    from scenedepthestimation_tpu import train
+    from scenedepthestimation_tpu.cli import main
+
+    cfg = RunConfig(
+        name="t_cli_exp", pipeline="mono", batch_size=1,
+        mono=MonoConfig(height=32, width=64),
+    )
+    state = train.make_temporal_train_state(cfg, seed=0)
+    art = str(tmp_path / "final")
+    train.save_predict_artifact(state, art)  # writes final + final_pose
+    out = str(tmp_path / "torch_out")
+    rc = main(
+        ["export", "--weights", art, "--torch", out,
+         "--config", "mono_kitti_192x640_fp32"]
+    )
+    assert rc == 0
+    import os
+
+    assert sorted(os.listdir(out)) == [
+        "depth.pth", "encoder.pth", "pose.pth", "pose_encoder.pth"
+    ]
+    back = torch_import.temporal_variables_from_dir(out)
+    want = jax.tree_util.tree_map(
+        np.asarray, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    _assert_trees_bitequal(want["params"], back["params"])
